@@ -54,7 +54,13 @@ def _load_py_config(path: Path) -> Dict[str, Any]:
     sys.modules[spec.name] = mod
     try:
         spec.loader.exec_module(mod)
-        return {k: v for k, v in vars(mod).items() if not k.startswith("_") and not callable(v) and not isinstance(v, type(sys))}
+        return {
+            k: v
+            for k, v in vars(mod).items()
+            if (k == "_base_" or not k.startswith("_"))
+            and not callable(v)
+            and not isinstance(v, type(sys))
+        }
     finally:
         sys.modules.pop(spec.name, None)
 
