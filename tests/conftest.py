@@ -13,6 +13,19 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running (set TD_RUN_SLOW=1 to include)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("TD_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow; set TD_RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -1,0 +1,226 @@
+"""ResNet-family backbones (flax.linen, NHWC): ResNet / ResNeXt / SE-ResNet /
+SE-ResNeXt in one parametric implementation.
+
+Parity surface (TCGGroup/Torch_Detection):
+  * ``models/backbone/resnet.py:178-184`` arch table (depths 18/34/50/101/152),
+  * ``resnet.py:9-119`` BasicBlock/Bottleneck ('pytorch' style: stride on the
+    3x3 conv), per-stage stride/dilation, multi-scale ``out_indices``,
+  * ``resnext.py:81-87`` grouped bottleneck width
+    ``D = floor(planes * base_width / 64) * groups``,
+  * ``se_resnet.py:36,96,120`` / ``se_resnext.py:104,183`` SE after last norm,
+  * ``resnet.py:270-294`` frozen stages + BN-eval semantics.
+
+TPU-first design decisions (not a torch translation):
+  * one parametric module instead of four near-duplicate class trees;
+  * FrozenBN folded to a fused multiply-add (no batch-stat collectives under
+    data parallelism) — ``bn_eval=True`` is the only mode the reference ever
+    runs for detection, so it is the default here;
+  * ``frozen_stages`` implemented as ``jax.lax.stop_gradient`` on the frozen
+    prefix's output: gradients to every param at or below the cut are exactly
+    zero, and XLA prunes the dead backward graph at compile time (the
+    reference's requires_grad flags have no JAX analog);
+  * NHWC + HWIO so convs hit the MXU in its native layout.
+
+Param naming mirrors torchvision (conv1/bn1/layer{i}_{j}/...) so the torch
+checkpoint importer (models/torch_import.py) is a mechanical key map.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...utils.registry import BACKBONES
+from ..layers import ConvModule, SELayer, build_norm, max_pool_same_torch
+
+Dtype = Any
+
+
+class BasicBlock(nn.Module):
+    """3x3 + 3x3 residual block (ResNet-18/34). expansion = 1."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    with_downsample: bool = False
+    with_se: bool = False
+    se_reduction: int = 16
+    norm_cfg: Optional[dict] = None
+    dtype: Optional[Dtype] = None
+
+    expansion = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        norm = self.norm_cfg or {"type": "FrozenBN"}
+        identity = x
+        out = ConvModule(
+            self.planes, 3, stride=self.stride, padding=self.dilation,
+            dilation=self.dilation, norm_cfg=norm, act="relu",
+            dtype=self.dtype, name="block1",
+        )(x, train=train)
+        out = ConvModule(
+            self.planes, 3, padding=1, norm_cfg=norm, act=None,
+            dtype=self.dtype, name="block2",
+        )(out, train=train)
+        if self.with_se:
+            out = SELayer(self.planes, self.se_reduction, dtype=self.dtype, name="se")(out)
+        if self.with_downsample:
+            identity = ConvModule(
+                self.planes, 1, stride=self.stride, norm_cfg=norm, act=None,
+                dtype=self.dtype, name="downsample",
+            )(x, train=train)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3(stride, dilation, groups) -> 1x1 residual block. expansion=4.
+
+    ``groups``/``base_width`` generalize to ResNeXt
+    (width = floor(planes * base_width / 64) * groups).
+    """
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    base_width: int = 64
+    with_downsample: bool = False
+    with_se: bool = False
+    se_reduction: int = 16
+    norm_cfg: Optional[dict] = None
+    dtype: Optional[Dtype] = None
+
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        norm = self.norm_cfg or {"type": "FrozenBN"}
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        out_channels = self.planes * self.expansion
+        identity = x
+        out = ConvModule(
+            width, 1, norm_cfg=norm, act="relu", dtype=self.dtype, name="block1",
+        )(x, train=train)
+        out = ConvModule(
+            width, 3, stride=self.stride, padding=self.dilation,
+            dilation=self.dilation, groups=self.groups, norm_cfg=norm,
+            act="relu", dtype=self.dtype, name="block2",
+        )(out, train=train)
+        out = ConvModule(
+            out_channels, 1, norm_cfg=norm, act=None, dtype=self.dtype, name="block3",
+        )(out, train=train)
+        if self.with_se:
+            out = SELayer(out_channels, self.se_reduction, dtype=self.dtype, name="se")(out)
+        if self.with_downsample:
+            identity = ConvModule(
+                out_channels, 1, stride=self.stride, norm_cfg=norm, act=None,
+                dtype=self.dtype, name="downsample",
+            )(x, train=train)
+        return nn.relu(out + identity)
+
+
+ARCH_SETTINGS = {
+    18: (BasicBlock, (2, 2, 2, 2)),
+    34: (BasicBlock, (3, 4, 6, 3)),
+    50: (Bottleneck, (3, 4, 6, 3)),
+    101: (Bottleneck, (3, 4, 23, 3)),
+    152: (Bottleneck, (3, 8, 36, 3)),
+}
+
+
+@BACKBONES.register_module
+class ResNet(nn.Module):
+    """Multi-scale feature extractor: returns features at ``out_indices``
+    (C2..C5, strides 4/8/16/32)."""
+
+    depth: int = 50
+    num_stages: int = 4
+    strides: Tuple[int, ...] = (1, 2, 2, 2)
+    dilations: Tuple[int, ...] = (1, 1, 1, 1)
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    frozen_stages: int = -1
+    groups: int = 1
+    base_width: int = 64
+    with_se: bool = False
+    se_reduction: int = 16
+    norm_cfg: Optional[dict] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, ...]:
+        if self.depth not in ARCH_SETTINGS:
+            raise KeyError(f"unsupported ResNet depth {self.depth}")
+        block_cls, stage_blocks = ARCH_SETTINGS[self.depth]
+        stage_blocks = stage_blocks[: self.num_stages]
+        assert 1 <= self.num_stages <= 4
+        assert len(self.strides) >= self.num_stages and len(self.dilations) >= self.num_stages
+        assert max(self.out_indices) < self.num_stages
+        norm = self.norm_cfg or {"type": "FrozenBN"}
+
+        # stem: 7x7 s2 -> norm -> relu -> maxpool 3x3 s2 (overall stride 4)
+        x = ConvModule(64, 7, stride=2, padding=3, norm_cfg=norm, act="relu",
+                       dtype=self.dtype, name="stem")(x, train=train)
+        x = max_pool_same_torch(x, window=3, stride=2, padding=1)
+        if self.frozen_stages >= 0:
+            x = jax.lax.stop_gradient(x)
+
+        outs = []
+        inplanes = 64
+        for i, num_blocks in enumerate(stage_blocks):
+            planes = 64 * 2**i
+            stride = self.strides[i]
+            dilation = self.dilations[i]
+            for j in range(num_blocks):
+                block_stride = stride if j == 0 else 1
+                needs_down = j == 0 and (block_stride != 1 or inplanes != planes * block_cls.expansion)
+                kwargs = dict(
+                    planes=planes,
+                    stride=block_stride,
+                    dilation=dilation,
+                    with_downsample=needs_down,
+                    with_se=self.with_se,
+                    se_reduction=self.se_reduction,
+                    norm_cfg=norm,
+                    dtype=self.dtype,
+                    name=f"layer{i + 1}_{j}",
+                )
+                if block_cls is Bottleneck:
+                    kwargs.update(groups=self.groups, base_width=self.base_width)
+                x = block_cls(**kwargs)(x, train=train)
+            inplanes = planes * block_cls.expansion
+            if self.frozen_stages >= i + 1:
+                x = jax.lax.stop_gradient(x)
+            if i in self.out_indices:
+                outs.append(x)
+        return tuple(outs)
+
+    @property
+    def feature_channels(self) -> Tuple[int, ...]:
+        block_cls, _ = ARCH_SETTINGS[self.depth]
+        return tuple(64 * 2**i * block_cls.expansion for i in self.out_indices)
+
+
+@BACKBONES.register_module
+class ResNeXt(ResNet):
+    """ResNeXt: grouped bottleneck (default 32x4d)."""
+
+    groups: int = 32
+    base_width: int = 4
+
+
+@BACKBONES.register_module
+class SEResNet(ResNet):
+    """SE-ResNet: squeeze-excitation after each block's last norm."""
+
+    with_se: bool = True
+
+
+@BACKBONES.register_module
+class SEResNeXt(ResNeXt):
+    """SE-ResNeXt: grouped bottleneck + squeeze-excitation."""
+
+    with_se: bool = True

@@ -1,0 +1,206 @@
+"""PyTorch -> flax checkpoint importer.
+
+Fills the role of the reference loader (``models/utils/checkpoint.py:67-120``,
+TCGGroup/Torch_Detection) for the JAX world: it maps a torchvision-style
+``state_dict`` onto our flax variable trees, with the same tolerant-diff
+reporting (missing / unexpected keys, ``checkpoint.py:29-64``) and the
+``module.`` DataParallel prefix strip (``checkpoint.py:113-114``).
+
+Layout conversions:
+  * conv weights   OIHW  -> HWIO  (torch -> flax NHWC)
+  * linear weights (O,I) -> (I,O)
+  * BN: weight->scale, bias->bias (params); running_mean/var -> batch_stats.
+
+Each backbone family ships a key-rule table (regex -> flax path); the default
+table covers the torchvision ResNet naming that the reference deliberately
+mirrors (``resnet.py:26-33``).
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from typing import Dict, List, Mapping, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+# (torch-key regex) -> (flax module path template). Applied in order; first
+# match wins. Path separators are '/'.
+RESNET_KEY_RULES: Sequence[Tuple[str, str]] = (
+    (r"^conv1\.(.*)$", r"stem/conv.\1"),
+    (r"^bn1\.(.*)$", r"stem/norm.\1"),
+    (r"^layer(\d+)\.(\d+)\.conv(\d+)\.(.*)$", r"layer\1_\2/block\3/conv.\4"),
+    (r"^layer(\d+)\.(\d+)\.bn(\d+)\.(.*)$", r"layer\1_\2/block\3/norm.\4"),
+    (r"^layer(\d+)\.(\d+)\.downsample\.0\.(.*)$", r"layer\1_\2/downsample/conv.\3"),
+    (r"^layer(\d+)\.(\d+)\.downsample\.1\.(.*)$", r"layer\1_\2/downsample/norm.\3"),
+    # SENet-style se blocks (se_module.fc1 / se.fc1 variants)
+    (r"^layer(\d+)\.(\d+)\.se(?:_module)?\.fc1\.(.*)$", r"layer\1_\2/se/fc1.\3"),
+    (r"^layer(\d+)\.(\d+)\.se(?:_module)?\.fc2\.(.*)$", r"layer\1_\2/se/fc2.\3"),
+    (r"^fc\.", None),  # classifier head: not part of the detection backbone
+)
+
+
+def _to_numpy(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    try:
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def strip_prefix(state_dict: Mapping[str, object], prefix: str = "module.") -> Dict[str, object]:
+    """Drop a (D)DP wrapper prefix if every key carries it."""
+    keys = list(state_dict)
+    if keys and all(k.startswith(prefix) for k in keys):
+        return {k[len(prefix):]: v for k, v in state_dict.items()}
+    return dict(state_dict)
+
+
+def _classify_leaf(flax_path: str, torch_leaf: str, value: np.ndarray):
+    """Return (collection, path_tuple, converted_value) or None to skip."""
+    parts = tuple(flax_path.split("/"))
+    if torch_leaf == "weight":
+        if value.ndim == 4:  # conv OIHW -> HWIO
+            return ("params", parts + ("kernel",), np.transpose(value, (2, 3, 1, 0)))
+        if value.ndim == 2:  # linear (O, I) -> (I, O)
+            return ("params", parts + ("kernel",), value.T)
+        if value.ndim == 1:  # norm scale
+            return ("params", parts + ("scale",), value)
+    elif torch_leaf == "bias":
+        return ("params", parts + ("bias",), value)
+    elif torch_leaf == "running_mean":
+        return ("batch_stats", parts + ("mean",), value)
+    elif torch_leaf == "running_var":
+        return ("batch_stats", parts + ("var",), value)
+    elif torch_leaf == "num_batches_tracked":
+        return None
+    raise ValueError(f"cannot classify torch leaf {torch_leaf!r} at {flax_path!r} (ndim={value.ndim})")
+
+
+def convert_state_dict(
+    state_dict: Mapping[str, object],
+    key_rules: Sequence[Tuple[str, Optional[str]]] = RESNET_KEY_RULES,
+) -> Tuple[Dict[str, Dict], List[str]]:
+    """Convert a torch state_dict into {'params': tree, 'batch_stats': tree}.
+
+    Returns (variables, unexpected_keys): keys no rule matched are reported,
+    not fatal — same tolerance contract as the reference loader.
+    """
+    state_dict = strip_prefix(state_dict)
+    variables: Dict[str, Dict] = {"params": {}, "batch_stats": {}}
+    unexpected: List[str] = []
+    for key, raw in state_dict.items():
+        mapped = None
+        for pattern, repl in key_rules:
+            m = re.match(pattern, key)
+            if m:
+                mapped = None if repl is None else m.expand(repl)
+                break
+        else:
+            unexpected.append(key)
+            continue
+        if mapped is None:
+            continue
+        flax_path, torch_leaf = mapped.rsplit(".", 1)
+        out = _classify_leaf(flax_path, torch_leaf, _to_numpy(raw))
+        if out is None:
+            continue
+        collection, path, value = out
+        node = variables[collection]
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = value
+    if not variables["batch_stats"]:
+        variables.pop("batch_stats")
+    return variables, unexpected
+
+
+def _flatten(tree: Mapping, prefix: Tuple[str, ...] = ()) -> Dict[Tuple[str, ...], np.ndarray]:
+    flat = {}
+    for k, v in tree.items():
+        if isinstance(v, Mapping):
+            flat.update(_flatten(v, prefix + (k,)))
+        else:
+            flat[prefix + (k,)] = v
+    return flat
+
+
+def load_torch_weights(
+    variables: Mapping[str, Mapping],
+    state_dict: Mapping[str, object],
+    key_rules: Sequence[Tuple[str, Optional[str]]] = RESNET_KEY_RULES,
+    strict: bool = False,
+    log: Optional[logging.Logger] = None,
+) -> Dict[str, Dict]:
+    """Graft torch weights onto an initialized flax variable tree.
+
+    ``variables`` is the output of ``module.init(...)``; returns a new tree of
+    the same structure with matching leaves replaced.  Missing / unexpected /
+    shape-mismatched keys are collected and logged (raise iff ``strict``).
+    """
+    log = log or logger
+    converted, unexpected = convert_state_dict(state_dict, key_rules)
+
+    have = {c: _flatten(t) for c, t in variables.items()}
+    incoming = {c: _flatten(t) for c, t in converted.items()}
+
+    missing: List[str] = []
+    mismatched: List[str] = []
+    out = {c: dict(_flatten(t)) for c, t in variables.items()}
+
+    for coll, flat in have.items():
+        inc = incoming.get(coll, {})
+        for path, value in flat.items():
+            if path in inc:
+                new = inc[path]
+                if tuple(np.shape(new)) != tuple(np.shape(value)):
+                    mismatched.append(f"{coll}:{'/'.join(path)} {np.shape(value)} vs torch {np.shape(new)}")
+                else:
+                    out[coll][path] = np.asarray(new, dtype=np.asarray(value).dtype)
+            else:
+                missing.append(f"{coll}:{'/'.join(path)}")
+    extra = [
+        f"{coll}:{'/'.join(p)}"
+        for coll, inc in incoming.items()
+        for p in inc
+        if p not in have.get(coll, {})
+    ]
+
+    problems = []
+    if missing:
+        problems.append(f"missing keys (kept initialized): {sorted(missing)}")
+    if unexpected or extra:
+        problems.append(f"unexpected torch keys (ignored): {sorted(unexpected + extra)}")
+    if mismatched:
+        problems.append(f"shape mismatches (kept initialized): {sorted(mismatched)}")
+    if problems:
+        msg = "; ".join(problems)
+        if strict:
+            raise RuntimeError(msg)
+        log.warning("torch import: %s", msg)
+
+    # rebuild nested trees
+    def unflatten(flat: Dict[Tuple[str, ...], np.ndarray]) -> Dict:
+        tree: Dict = {}
+        for path, v in flat.items():
+            node = tree
+            for p in path[:-1]:
+                node = node.setdefault(p, {})
+            node[path[-1]] = v
+        return tree
+
+    return {c: unflatten(f) for c, f in out.items()}
+
+
+def load_torch_checkpoint(path: str):
+    """Load a .pth/.pt file into a plain dict of numpy arrays (unwraps the
+    ``{'state_dict': ...}`` envelope like reference checkpoint.py:104-111)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: _to_numpy(v) for k, v in obj.items()}

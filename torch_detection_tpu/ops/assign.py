@@ -1,0 +1,181 @@
+"""Anchor <-> gt assignment and sampling (pure jnp, fixed shapes, masked).
+
+Fills SURVEY.md §2 #32's assigner/sampler slot ([ABSENT] in the reference —
+``core/__init__.py`` is empty).  Semantics follow the mmdetection
+MaxIoUAssigner contract the reference's lineage implies:
+
+  assigned_gt_inds: -1 = ignored, 0 = negative (background), k>0 = gt index k.
+
+All inputs are padded fixed-shape arrays with validity masks — no dynamic
+shapes anywhere, so the whole assignment jits into one fused elementwise
+pass + a scatter for the best-anchor-per-gt rule.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import bbox_overlaps
+
+
+class AssignResult(NamedTuple):
+    """Fixed-shape assignment output.
+
+    assigned_gt_inds: (N,) int32 in {-1, 0, 1..G}
+    max_overlaps:     (N,) float32, IoU with the assigned (or best) gt
+    labels:           (N,) int32 class label of assigned gt (0 where none)
+    """
+
+    assigned_gt_inds: jnp.ndarray
+    max_overlaps: jnp.ndarray
+    labels: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class MaxIoUAssigner:
+    """Assign each anchor to the gt with the highest IoU.
+
+    Rules (in order):
+      1. everything starts ignored (-1);
+      2. anchors with max-IoU < neg_iou_thr -> negative (0);
+      3. anchors with max-IoU >= pos_iou_thr -> that gt;
+      4. each gt's best anchor(s) -> that gt if IoU >= min_pos_iou
+         (``gt_max_assign_all``: all ties, else first);
+      5. anchors whose IoF with any ignore-region >= ignore_iof_thr -> ignored.
+    """
+
+    pos_iou_thr: float = 0.5
+    neg_iou_thr: float = 0.4
+    min_pos_iou: float = 0.0
+    gt_max_assign_all: bool = True
+    ignore_iof_thr: float = -1.0
+
+    def __call__(
+        self,
+        anchors: jnp.ndarray,  # (N, 4)
+        gt_boxes: jnp.ndarray,  # (G, 4) zero-padded
+        gt_valid: jnp.ndarray,  # (G,) bool
+        gt_labels: Optional[jnp.ndarray] = None,  # (G,) int32
+        gt_boxes_ignore: Optional[jnp.ndarray] = None,  # (Gi, 4)
+        gt_ignore_valid: Optional[jnp.ndarray] = None,  # (Gi,) bool
+        anchor_valid: Optional[jnp.ndarray] = None,  # (N,) bool
+    ) -> AssignResult:
+        n = anchors.shape[0]
+        overlaps = bbox_overlaps(anchors, gt_boxes)  # (N, G)
+        overlaps = jnp.where(gt_valid[None, :], overlaps, -1.0)
+
+        max_overlaps = jnp.max(overlaps, axis=1)  # (N,)
+        argmax_overlaps = jnp.argmax(overlaps, axis=1)  # (N,)
+
+        any_gt = jnp.any(gt_valid)
+        # start ignored; negatives below neg thr (only meaningful vs valid gts
+        # — with no gt at all every anchor is negative)
+        assigned = jnp.full((n,), -1, jnp.int32)
+        is_neg = (max_overlaps < self.neg_iou_thr) | ~any_gt
+        assigned = jnp.where(is_neg, 0, assigned)
+        # positives at/above pos thr
+        is_pos = any_gt & (max_overlaps >= self.pos_iou_thr)
+        assigned = jnp.where(is_pos, argmax_overlaps.astype(jnp.int32) + 1, assigned)
+
+        # rule 4: best anchor per gt. gt_argmax[g] = anchor with top IoU for g.
+        gt_max = jnp.max(overlaps, axis=0)  # (G,)
+        qualify = gt_valid & (gt_max >= self.min_pos_iou) & (gt_max > 0)
+        if self.gt_max_assign_all:
+            # all anchors tying the per-gt max get the gt
+            tie = (overlaps == gt_max[None, :]) & qualify[None, :]
+            # where an anchor ties several gts, prefer the highest-IoU one
+            # (take the last matching gt like a scatter would; use argmax of
+            # tie-masked overlaps for determinism)
+            tie_any = jnp.any(tie, axis=1)
+            tie_best = jnp.argmax(jnp.where(tie, overlaps, -jnp.inf), axis=1)
+            assigned = jnp.where(tie_any, tie_best.astype(jnp.int32) + 1, assigned)
+        else:
+            gt_argmax = jnp.argmax(overlaps, axis=0)  # (G,)
+            assigned = assigned.at[gt_argmax].set(
+                jnp.where(qualify, jnp.arange(gt_boxes.shape[0], dtype=jnp.int32) + 1,
+                          assigned[gt_argmax])
+            )
+
+        # rule 5: ignore regions (IoF of anchor vs ignore box)
+        if (
+            self.ignore_iof_thr > 0
+            and gt_boxes_ignore is not None
+            and gt_boxes_ignore.shape[0] > 0
+        ):
+            iof = bbox_overlaps(anchors, gt_boxes_ignore, mode="iof")
+            if gt_ignore_valid is not None:
+                iof = jnp.where(gt_ignore_valid[None, :], iof, -1.0)
+            ignore_hit = jnp.max(iof, axis=1) >= self.ignore_iof_thr
+            assigned = jnp.where(ignore_hit, -1, assigned)
+
+        # anchors outside the valid image region are ignored
+        if anchor_valid is not None:
+            assigned = jnp.where(anchor_valid, assigned, -1)
+
+        if gt_labels is not None:
+            safe_idx = jnp.clip(assigned - 1, 0, gt_boxes.shape[0] - 1)
+            labels = jnp.where(assigned > 0, gt_labels[safe_idx], 0)
+        else:
+            labels = jnp.zeros((n,), jnp.int32)
+        return AssignResult(assigned, max_overlaps, labels)
+
+
+class SampleResult(NamedTuple):
+    """Fixed-shape sampling output: boolean masks over the anchor set."""
+
+    pos_mask: jnp.ndarray  # (N,) bool
+    neg_mask: jnp.ndarray  # (N,) bool
+
+
+@dataclasses.dataclass(frozen=True)
+class PseudoSampler:
+    """Use every positive and negative (single-stage / focal-loss heads)."""
+
+    def __call__(self, assign: AssignResult, rng: Optional[jax.Array] = None) -> SampleResult:
+        return SampleResult(assign.assigned_gt_inds > 0, assign.assigned_gt_inds == 0)
+
+
+@dataclasses.dataclass(frozen=True)
+class RandomSampler:
+    """Sample at most ``num`` anchors with a positive fraction, fixed-shape.
+
+    TPU formulation: instead of choosing indices (dynamic shape), draw a
+    random key per anchor and keep the top-k keys within each mask; the
+    result stays a fixed-size boolean mask.  ``num`` bounds the *expected*
+    count; masks may select fewer when fewer candidates exist.
+    """
+
+    num: int = 256
+    pos_fraction: float = 0.5
+    neg_pos_ub: float = -1.0
+
+    def __call__(self, assign: AssignResult, rng: jax.Array) -> SampleResult:
+        pos_mask = assign.assigned_gt_inds > 0
+        neg_mask = assign.assigned_gt_inds == 0
+        num_pos_wanted = int(self.num * self.pos_fraction)
+
+        k_pos, k_neg = jax.random.split(rng)
+        pos_keep = _topk_mask(pos_mask, num_pos_wanted, k_pos)
+        n_pos = jnp.sum(pos_keep)
+        num_neg_wanted = self.num - n_pos
+        if self.neg_pos_ub > 0:
+            num_neg_wanted = jnp.minimum(
+                num_neg_wanted, (jnp.maximum(n_pos, 1) * self.neg_pos_ub).astype(n_pos.dtype)
+            )
+        neg_keep = _topk_mask(neg_mask, self.num, k_neg, dynamic_k=num_neg_wanted)
+        return SampleResult(pos_keep, neg_keep)
+
+
+def _topk_mask(mask: jnp.ndarray, k: int, rng: jax.Array, dynamic_k=None) -> jnp.ndarray:
+    """Keep a uniformly-random subset of at most k True entries, fixed-shape."""
+    n = mask.shape[0]
+    scores = jnp.where(mask, jax.random.uniform(rng, (n,)), -1.0)
+    # rank of each entry among the masked scores (descending)
+    order = jnp.argsort(-scores)
+    ranks = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    limit = k if dynamic_k is None else dynamic_k
+    return mask & (ranks < limit)

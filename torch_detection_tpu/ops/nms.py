@@ -1,0 +1,153 @@
+"""Fixed-shape class-wise NMS for TPU (pure jnp; no dynamic output counts).
+
+Fills SURVEY.md §2 #32's NMS slot ([ABSENT] in the reference).  The
+control-flow-heavy per-class loop a torch implementation would use is
+re-designed for XLA:
+
+  * class-wise suppression via the **coordinate-offset trick**: shift each
+    box by ``class_id * (max_coord + 1)`` so boxes of different classes can
+    never overlap, then run ONE greedy NMS over the top-K candidates across
+    all classes — one kernel instead of C loops;
+  * greedy suppression as a ``lax.fori_loop`` over the K sorted candidates
+    updating a (K,) suppression vector against a precomputed (K, K) IoU
+    matrix — exact greedy-NMS semantics, fixed shapes, no host sync;
+  * outputs are padded to ``max_out`` with score 0 / label -1 rows, so the
+    caller's shapes are static.
+
+K (``pre_nms_top_k``) bounds both memory (K^2 IoU matrix) and the sequential
+chain; 1-2k candidates is the practical detection regime.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import bbox_overlaps
+
+
+class NMSResult(NamedTuple):
+    boxes: jnp.ndarray  # (max_out, 4)
+    scores: jnp.ndarray  # (max_out,)
+    labels: jnp.ndarray  # (max_out,) int32, -1 for padding
+    valid: jnp.ndarray  # (max_out,) bool
+
+
+def _greedy_suppress(iou: jnp.ndarray, iou_thr: float) -> jnp.ndarray:
+    """Exact greedy NMS over score-sorted candidates.
+
+    ``iou`` is (K, K) for candidates sorted by descending score.  Returns a
+    (K,) keep mask.  Sequential over K via fori_loop; each step is one (K,)
+    vector op on the VPU.
+    """
+    k = iou.shape[0]
+    suppress = iou > iou_thr  # row i suppresses col j (j considered only when j > i)
+    col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    suppress = suppress & (col > row)
+
+    def body(i, suppressed):
+        alive = jnp.logical_not(suppressed[i])
+        return suppressed | (alive & suppress[i])
+
+    suppressed = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
+    return jnp.logical_not(suppressed)
+
+
+def nms(
+    boxes: jnp.ndarray,  # (N, 4)
+    scores: jnp.ndarray,  # (N,)
+    iou_thr: float = 0.5,
+    score_thr: float = 0.0,
+    max_out: int = 100,
+    valid: Optional[jnp.ndarray] = None,
+    offset: float = 1.0,
+) -> NMSResult:
+    """Single-class NMS, fixed output shape (padded)."""
+    n = boxes.shape[0]
+    s = jnp.where(scores > score_thr, scores, -1.0)
+    if valid is not None:
+        s = jnp.where(valid, s, -1.0)
+    k = min(n, max(max_out, 1))
+
+    top_s, top_i = jax.lax.top_k(s, k)
+    top_b = boxes[top_i]
+    iou = bbox_overlaps(top_b, top_b, offset=offset)
+    keep = _greedy_suppress(iou, iou_thr) & (top_s > 0)
+
+    # compact kept rows to the front (stable) and pad to max_out
+    rank = jnp.cumsum(keep) - 1
+    dest = jnp.where(keep, rank, k)  # drop into an overflow slot
+    out_b = jnp.zeros((k + 1, 4), boxes.dtype).at[dest].set(top_b)[:k]
+    out_s = jnp.zeros((k + 1,), scores.dtype).at[dest].set(jnp.where(keep, top_s, 0.0))[:k]
+    out_v = jnp.zeros((k + 1,), bool).at[dest].set(keep)[:k]
+    out_i = jnp.zeros((k + 1,), jnp.int32).at[dest].set(top_i.astype(jnp.int32))[:k]
+
+    pad = max_out - k
+    if pad > 0:
+        out_b = jnp.pad(out_b, ((0, pad), (0, 0)))
+        out_s = jnp.pad(out_s, ((0, pad),))
+        out_v = jnp.pad(out_v, ((0, pad),))
+        out_i = jnp.pad(out_i, ((0, pad),))
+    labels = jnp.where(out_v[:max_out], out_i[:max_out], -1)
+    return NMSResult(out_b[:max_out], out_s[:max_out], labels, out_v[:max_out])
+
+
+def multiclass_nms(
+    boxes: jnp.ndarray,  # (N, 4) or (N, C, 4) class-specific
+    scores: jnp.ndarray,  # (N, C) — class scores WITHOUT background column
+    iou_thr: float = 0.5,
+    score_thr: float = 0.05,
+    pre_nms_top_k: int = 1000,
+    max_out: int = 100,
+    valid: Optional[jnp.ndarray] = None,  # (N,) bool
+    offset: float = 1.0,
+) -> NMSResult:
+    """Class-wise NMS over (N, C) scores in one fused pass.
+
+    Candidates are the top ``pre_nms_top_k`` (box, class) pairs by score;
+    suppression uses class-offset coordinates so only same-class pairs
+    interact.  Returns ``max_out`` rows, padded; ``labels`` are 0-based
+    class indices (-1 padding).
+    """
+    n, c = scores.shape
+    flat_scores = scores.reshape(-1)  # (N*C,) box-major
+    if valid is not None:
+        flat_scores = jnp.where(jnp.repeat(valid, c), flat_scores, -1.0)
+    flat_scores = jnp.where(flat_scores > score_thr, flat_scores, -1.0)
+
+    k = min(n * c, pre_nms_top_k)
+    top_s, top_flat = jax.lax.top_k(flat_scores, k)
+    box_idx = top_flat // c
+    cls_idx = (top_flat % c).astype(jnp.int32)
+
+    if boxes.ndim == 3:  # class-specific regression
+        cand = boxes[box_idx, cls_idx]
+    else:
+        cand = boxes[box_idx]
+
+    # class-offset trick: disjoint coordinate islands per class
+    max_coord = jnp.max(jnp.abs(cand)) + offset
+    shifted = cand + (cls_idx.astype(cand.dtype) * (max_coord + 1.0))[:, None]
+    iou = bbox_overlaps(shifted, shifted, offset=offset)
+    keep = _greedy_suppress(iou, iou_thr) & (top_s > 0)
+
+    rank = jnp.cumsum(keep) - 1
+    dest = jnp.where(keep, rank, k)
+    out_b = jnp.zeros((k + 1, 4), cand.dtype).at[dest].set(cand)[:k]
+    out_s = jnp.zeros((k + 1,), top_s.dtype).at[dest].set(jnp.where(keep, top_s, 0.0))[:k]
+    out_l = jnp.full((k + 1,), -1, jnp.int32).at[dest].set(cls_idx)[:k]
+    out_v = jnp.zeros((k + 1,), bool).at[dest].set(keep)[:k]
+
+    if k >= max_out:
+        out_b, out_s, out_l, out_v = (a[:max_out] for a in (out_b, out_s, out_l, out_v))
+    else:
+        pad = max_out - k
+        out_b = jnp.pad(out_b, ((0, pad), (0, 0)))
+        out_s = jnp.pad(out_s, ((0, pad),))
+        out_l = jnp.pad(out_l, ((0, pad),), constant_values=-1)
+        out_v = jnp.pad(out_v, ((0, pad),))
+    out_l = jnp.where(out_v, out_l, -1)
+    return NMSResult(out_b, out_s, out_l, out_v)
