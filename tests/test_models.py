@@ -26,7 +26,7 @@ class TestLayers:
     def test_conv_module_shapes(self, rng):
         x = jnp.asarray(rng.normal(size=(2, 16, 16, 8)), jnp.float32)
         m = ConvModule(32, 3, stride=2, padding=1, norm_cfg={"type": "FrozenBN"})
-        vars_ = m.init(jax.random.PRNGKey(0), x)
+        vars_ = jax.jit(m.init)(jax.random.PRNGKey(0), x)
         y = m.apply(vars_, x)
         assert y.shape == (2, 8, 8, 32)
         assert "batch_stats" in vars_
@@ -34,7 +34,7 @@ class TestLayers:
     def test_conv_module_no_bias_with_norm(self, rng):
         x = jnp.ones((1, 4, 4, 2))
         m = ConvModule(4, 1, norm_cfg={"type": "GN", "num_groups": 2})
-        vars_ = m.init(jax.random.PRNGKey(0), x)
+        vars_ = jax.jit(m.init)(jax.random.PRNGKey(0), x)
         assert "bias" not in vars_["params"]["conv"]
         m2 = ConvModule(4, 1, norm_cfg=None, act=None)
         vars2 = m2.init(jax.random.PRNGKey(0), x)
@@ -43,7 +43,7 @@ class TestLayers:
     def test_frozen_bn_math(self):
         x = jnp.ones((1, 2, 2, 3)) * 4.0
         m = FrozenBatchNorm()
-        vars_ = m.init(jax.random.PRNGKey(0), x)
+        vars_ = jax.jit(m.init)(jax.random.PRNGKey(0), x)
         stats = {"mean": jnp.array([1.0, 1.0, 1.0]), "var": jnp.array([4.0, 4.0, 4.0])}
         y = m.apply({"params": vars_["params"], "batch_stats": stats}, x)
         np.testing.assert_allclose(np.asarray(y), (4.0 - 1.0) / 2.0, rtol=1e-4)
@@ -62,7 +62,7 @@ class TestLayers:
     def test_se_layer(self, rng):
         x = jnp.asarray(rng.normal(size=(2, 4, 4, 16)), jnp.float32)
         m = SELayer(16, reduction=4)
-        vars_ = m.init(jax.random.PRNGKey(0), x)
+        vars_ = jax.jit(m.init)(jax.random.PRNGKey(0), x)
         y = m.apply(vars_, x)
         assert y.shape == x.shape
 
@@ -109,7 +109,7 @@ class TestResNet:
     def test_resnet18_shapes(self, rng):
         x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
         m = ResNet(depth=18)
-        vars_ = m.init(jax.random.PRNGKey(0), x)
+        vars_ = jax.jit(m.init)(jax.random.PRNGKey(0), x)
         outs = m.apply(vars_, x)
         assert len(outs) == 4
         assert [o.shape for o in outs] == [
@@ -122,14 +122,14 @@ class TestResNet:
     def test_resnet50_shapes_out_indices(self, rng):
         x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
         m = ResNet(depth=50, num_stages=2, out_indices=(1,))
-        vars_ = m.init(jax.random.PRNGKey(0), x)
+        vars_ = jax.jit(m.init)(jax.random.PRNGKey(0), x)
         outs = m.apply(vars_, x)
         assert len(outs) == 1 and outs[0].shape == (1, 4, 4, 512)
 
     def test_frozen_stages_zero_grads(self, rng):
         x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)), jnp.float32)
         m = ResNet(depth=18, num_stages=2, out_indices=(1,), frozen_stages=1)
-        vars_ = m.init(jax.random.PRNGKey(0), x)
+        vars_ = jax.jit(m.init)(jax.random.PRNGKey(0), x)
 
         def loss(params):
             out = m.apply({"params": params, "batch_stats": vars_["batch_stats"]}, x)
@@ -144,7 +144,7 @@ class TestResNet:
     def test_se_resnet_has_se_params(self, rng):
         x = jnp.ones((1, 32, 32, 3))
         m = SEResNet(depth=18, num_stages=1, out_indices=(0,))
-        vars_ = m.init(jax.random.PRNGKey(0), x)
+        vars_ = jax.jit(m.init)(jax.random.PRNGKey(0), x)
         assert "se" in vars_["params"]["layer1_0"]
 
 
@@ -158,7 +158,7 @@ class TestFPN:
     def test_fpn_maxpool_extra(self, rng):
         feats = self._feats(rng)
         m = FPN(in_channels=(16, 32, 64, 128), out_channels=8, num_outs=5)
-        vars_ = m.init(jax.random.PRNGKey(0), feats)
+        vars_ = jax.jit(m.init)(jax.random.PRNGKey(0), feats)
         outs = m.apply(vars_, feats)
         assert len(outs) == 5
         assert [o.shape[1] for o in outs] == [16, 8, 4, 2, 1]
@@ -171,7 +171,7 @@ class TestFPN:
             start_level=1, add_extra_convs=True, extra_convs_on_inputs=True,
             relu_before_extra_convs=True,
         )
-        vars_ = m.init(jax.random.PRNGKey(0), feats)
+        vars_ = jax.jit(m.init)(jax.random.PRNGKey(0), feats)
         outs = m.apply(vars_, feats)
         assert len(outs) == 5
         assert [o.shape[1] for o in outs] == [8, 4, 2, 1, 1]  # 16/2=8 start_level=1
@@ -179,7 +179,7 @@ class TestFPN:
     def test_pafpn(self, rng):
         feats = self._feats(rng)
         m = PAFPN(in_channels=(16, 32, 64, 128), out_channels=8, num_outs=5)
-        vars_ = m.init(jax.random.PRNGKey(0), feats)
+        vars_ = jax.jit(m.init)(jax.random.PRNGKey(0), feats)
         outs = m.apply(vars_, feats)
         assert len(outs) == 5
         assert "pa_down1" in vars_["params"] and "pa_out3" in vars_["params"]
@@ -213,7 +213,7 @@ class TestTorchImport:
 
         m = ResNet(**flax_kwargs) if torch_fn != "torch_resnext50_32x4d" else ResNeXt(depth=50)
         jx = jnp.asarray(x.transpose(0, 2, 3, 1))
-        vars_ = m.init(jax.random.PRNGKey(0), jx)
+        vars_ = jax.jit(m.init)(jax.random.PRNGKey(0), jx)
         vars_ = load_torch_weights(vars_, tmodel.state_dict(), strict=True)
         j_outs = m.apply(jax.tree_util.tree_map(jnp.asarray, vars_), jx)
 
