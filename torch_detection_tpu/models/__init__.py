@@ -1,4 +1,4 @@
-from . import backbones, necks
+from . import backbones, detectors, heads, necks
 from .inits import bias_init_with_prob, kaiming_init, xavier_init
 from .layers import (
     ConvModule,

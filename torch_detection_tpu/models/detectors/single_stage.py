@@ -1,0 +1,196 @@
+"""Single-stage detector (RetinaNet-style): backbone -> neck -> dense head,
+plus jittable loss and fixed-shape inference functions.
+
+Fills SURVEY.md §2 #33 (detector assembly, [ABSENT] in the reference).  The
+registry/config surface mirrors the reference idiom: a detector is built from
+``{'backbone': {...}, 'neck': {...}, 'head': {...}}`` dicts resolved against
+the BACKBONES/NECKS/HEADS registries.
+
+TPU design: the flax module produces raw per-level head outputs only; loss
+(``retina_loss``) and decoding (``decode_detections``) are standalone pure
+functions over fixed-shape padded batches, so the full train step and the
+full inference step each compile to one XLA program (backbone conv stack on
+the MXU, assignment + NMS as fused masked elementwise/top-k work).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.anchors import AnchorGenerator
+from ...ops.assign import MaxIoUAssigner
+from ...ops.boxes import bbox2delta, delta2bbox
+from ...ops.losses import sigmoid_focal_loss, smooth_l1_loss
+from ...ops.nms import NMSResult, multiclass_nms
+from ...utils.registry import BACKBONES, DETECTORS, HEADS, NECKS
+from ..heads.anchor_head import flatten_head_outputs
+
+
+@DETECTORS.register_module
+class SingleStageDetector(nn.Module):
+    """backbone cfg + neck cfg + head cfg -> per-level (cls, reg) outputs."""
+
+    backbone: Dict[str, Any]
+    neck: Dict[str, Any]
+    head: Dict[str, Any]
+
+    def setup(self):
+        self.backbone_mod = BACKBONES.build(dict(self.backbone), name="backbone")
+        self.neck_mod = NECKS.build(dict(self.neck), name="neck")
+        self.head_mod = HEADS.build(dict(self.head), name="head")
+
+    def __call__(self, images: jax.Array, train: bool = False):
+        feats = self.backbone_mod(images, train=train)
+        feats = self.neck_mod(feats, train=train)
+        return self.head_mod(feats, train=train)
+
+
+@dataclasses.dataclass(frozen=True)
+class RetinaNetConfig:
+    """Static (hashable) detection-time configuration."""
+
+    num_classes: int = 80
+    anchor_generator: AnchorGenerator = AnchorGenerator(
+        strides=(8, 16, 32, 64, 128),
+        ratios=(0.5, 1.0, 2.0),
+        octave_base_scale=4.0,
+        scales_per_octave=3,
+    )
+    target_means: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+    target_stds: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    assigner: MaxIoUAssigner = MaxIoUAssigner(
+        pos_iou_thr=0.5, neg_iou_thr=0.4, min_pos_iou=0.0
+    )
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    smooth_l1_beta: float = 1.0 / 9.0
+    reg_loss_weight: float = 1.0
+    # inference
+    score_thr: float = 0.05
+    nms_iou_thr: float = 0.5
+    pre_nms_top_k: int = 1000
+    max_detections: int = 100
+
+
+def _per_image_targets(
+    cfg: RetinaNetConfig,
+    anchors: jax.Array,  # (N, 4)
+    anchor_valid: jax.Array,  # (N,) bool
+    gt_boxes: jax.Array,  # (G, 4)
+    gt_labels: jax.Array,  # (G,)
+    gt_valid: jax.Array,  # (G,) bool
+):
+    assign = cfg.assigner(anchors, gt_boxes, gt_valid, gt_labels, anchor_valid=anchor_valid)
+    pos = assign.assigned_gt_inds > 0
+    neg = assign.assigned_gt_inds == 0
+    safe_gt = jnp.clip(assign.assigned_gt_inds - 1, 0, gt_boxes.shape[0] - 1)
+    matched_gt = gt_boxes[safe_gt]
+    reg_targets = bbox2delta(anchors, matched_gt, cfg.target_means, cfg.target_stds)
+    # one-hot cls targets over foreground classes; labels are 1-based
+    # (0 = background) in the dataset contract, so subtract 1.
+    cls_onehot = jax.nn.one_hot(assign.labels - 1, cfg.num_classes, dtype=jnp.float32)
+    cls_onehot = cls_onehot * pos[:, None]
+    return pos, neg, cls_onehot, reg_targets
+
+
+def retina_loss(
+    cfg: RetinaNetConfig,
+    cls_scores: Sequence[jax.Array],
+    bbox_preds: Sequence[jax.Array],
+    gt_boxes: jax.Array,  # (B, G, 4)
+    gt_labels: jax.Array,  # (B, G) int32, 1-based
+    gt_valid: jax.Array,  # (B, G) bool
+    img_shapes: Optional[jax.Array] = None,  # (B, 2) un-padded (h, w)
+) -> Dict[str, jax.Array]:
+    """Focal + smooth-L1 loss over all levels, normalized by #positives."""
+    featmap_sizes = [tuple(s.shape[1:3]) for s in cls_scores]
+    anchors = cfg.anchor_generator.flat_anchors(featmap_sizes)  # (N, 4)
+    flat_cls, flat_reg = flatten_head_outputs(cls_scores, bbox_preds, cfg.num_classes)
+    flat_cls = flat_cls.astype(jnp.float32)
+    flat_reg = flat_reg.astype(jnp.float32)
+
+    if img_shapes is None:
+        anchor_valid_fn = lambda i: jnp.ones((anchors.shape[0],), bool)
+    else:
+        centers_x = (anchors[:, 0] + anchors[:, 2]) * 0.5
+        centers_y = (anchors[:, 1] + anchors[:, 3]) * 0.5
+
+        def anchor_valid_fn(i):
+            h, w = img_shapes[i, 0], img_shapes[i, 1]
+            return (centers_x < w) & (centers_y < h)
+
+    def one_image(i):
+        pos, neg, cls_t, reg_t = _per_image_targets(
+            cfg, anchors, anchor_valid_fn(i), gt_boxes[i], gt_labels[i], gt_valid[i]
+        )
+        num_pos = jnp.sum(pos)
+        cls_weight = (pos | neg)[:, None].astype(jnp.float32)
+        cls_loss = sigmoid_focal_loss(
+            flat_cls[i], cls_t, weight=cls_weight,
+            gamma=cfg.focal_gamma, alpha=cfg.focal_alpha, avg_factor=num_pos,
+        )
+        reg_weight = pos[:, None].astype(jnp.float32)
+        reg_loss = smooth_l1_loss(
+            flat_reg[i], reg_t, weight=reg_weight,
+            beta=cfg.smooth_l1_beta, avg_factor=num_pos,
+        )
+        return cls_loss, reg_loss, num_pos
+
+    cls_losses, reg_losses, num_pos = jax.vmap(one_image)(
+        jnp.arange(gt_boxes.shape[0])
+    )
+    loss_cls = jnp.mean(cls_losses)
+    loss_reg = jnp.mean(reg_losses) * cfg.reg_loss_weight
+    return {
+        "loss_cls": loss_cls,
+        "loss_reg": loss_reg,
+        "loss": loss_cls + loss_reg,
+        "num_pos": jnp.mean(num_pos.astype(jnp.float32)),
+    }
+
+
+def decode_detections(
+    cfg: RetinaNetConfig,
+    cls_scores: Sequence[jax.Array],
+    bbox_preds: Sequence[jax.Array],
+    img_shapes: Optional[jax.Array] = None,  # (B, 2) for clipping
+    scale_factors: Optional[jax.Array] = None,  # (B,) undo resize
+) -> NMSResult:
+    """Fixed-shape batched inference: sigmoid scores -> per-level anchors ->
+    delta decode -> class-wise NMS.  Returns (B, max_detections) padded."""
+    featmap_sizes = [tuple(s.shape[1:3]) for s in cls_scores]
+    anchors = cfg.anchor_generator.flat_anchors(featmap_sizes)
+    flat_cls, flat_reg = flatten_head_outputs(cls_scores, bbox_preds, cfg.num_classes)
+    scores = jax.nn.sigmoid(flat_cls.astype(jnp.float32))  # (B, N, C)
+    flat_reg = flat_reg.astype(jnp.float32)
+
+    def one_image(i):
+        boxes = delta2bbox(
+            anchors, flat_reg[i], cfg.target_means, cfg.target_stds,
+            wh_ratio_clip=16 / 1000,
+        )
+        if img_shapes is not None:
+            h = img_shapes[i, 0]
+            w = img_shapes[i, 1]
+            x = jnp.clip(boxes[:, 0::2], 0, w - 1.0)
+            y = jnp.clip(boxes[:, 1::2], 0, h - 1.0)
+            boxes = jnp.stack([x[:, 0], y[:, 0], x[:, 1], y[:, 1]], axis=-1)
+        res = multiclass_nms(
+            boxes,
+            scores[i],
+            iou_thr=cfg.nms_iou_thr,
+            score_thr=cfg.score_thr,
+            pre_nms_top_k=cfg.pre_nms_top_k,
+            max_out=cfg.max_detections,
+        )
+        out_boxes = res.boxes
+        if scale_factors is not None:
+            out_boxes = out_boxes / scale_factors[i]
+        return NMSResult(out_boxes, res.scores, res.labels, res.valid)
+
+    return jax.vmap(one_image)(jnp.arange(scores.shape[0]))
