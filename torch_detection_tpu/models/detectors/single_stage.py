@@ -73,7 +73,8 @@ class RetinaNetConfig:
     # inference
     score_thr: float = 0.05
     nms_iou_thr: float = 0.5
-    pre_nms_top_k: int = 1000
+    pre_select_per_level: int = 1000  # top anchors per level by max-class score
+    pre_nms_top_k: int = 1000  # (box, class) pairs entering NMS
     max_detections: int = 100
 
 
@@ -161,17 +162,44 @@ def decode_detections(
     img_shapes: Optional[jax.Array] = None,  # (B, 2) for clipping
     scale_factors: Optional[jax.Array] = None,  # (B,) undo resize
 ) -> NMSResult:
-    """Fixed-shape batched inference: sigmoid scores -> per-level anchors ->
-    delta decode -> class-wise NMS.  Returns (B, max_detections) padded."""
+    """Fixed-shape batched inference: per-level top-k preselect -> sigmoid
+    scores -> delta decode -> class-wise NMS.  Returns (B, max_detections)
+    padded.
+
+    Preselection mirrors the standard RetinaNet ``nms_pre`` rule: within each
+    pyramid level keep the top ``pre_select_per_level`` anchors by max-class
+    score; this keeps every downstream tensor ~5k rows instead of ~150k,
+    which is what makes single-kernel NMS cheap on TPU.
+    """
     featmap_sizes = [tuple(s.shape[1:3]) for s in cls_scores]
-    anchors = cfg.anchor_generator.flat_anchors(featmap_sizes)
-    flat_cls, flat_reg = flatten_head_outputs(cls_scores, bbox_preds, cfg.num_classes)
-    scores = jax.nn.sigmoid(flat_cls.astype(jnp.float32))  # (B, N, C)
-    flat_reg = flat_reg.astype(jnp.float32)
+    level_anchors = cfg.anchor_generator.grid_anchors(featmap_sizes)
+    b = cls_scores[0].shape[0]
+
+    sel_scores, sel_anchors, sel_regs = [], [], []
+    for lvl, (cls_l, reg_l) in enumerate(zip(cls_scores, bbox_preds)):
+        s = cls_l.reshape(b, -1, cfg.num_classes).astype(jnp.float32)  # (B, Nl, C)
+        r = reg_l.reshape(b, -1, 4).astype(jnp.float32)
+        n_l = s.shape[1]
+        k = min(cfg.pre_select_per_level, n_l)
+        if k < n_l:
+            best = jnp.max(s, axis=-1)  # (B, Nl)
+            _, idx = jax.lax.top_k(best, k)  # (B, k)
+            s = jnp.take_along_axis(s, idx[..., None], axis=1)
+            r = jnp.take_along_axis(r, idx[..., None], axis=1)
+            a = level_anchors[lvl][idx]  # (B, k, 4)
+        else:
+            a = jnp.broadcast_to(level_anchors[lvl][None], (b, n_l, 4))
+        sel_scores.append(s)
+        sel_anchors.append(a)
+        sel_regs.append(r)
+
+    scores = jax.nn.sigmoid(jnp.concatenate(sel_scores, axis=1))  # (B, M, C)
+    anchors_b = jnp.concatenate(sel_anchors, axis=1)  # (B, M, 4)
+    flat_reg = jnp.concatenate(sel_regs, axis=1)  # (B, M, 4)
 
     def one_image(i):
         boxes = delta2bbox(
-            anchors, flat_reg[i], cfg.target_means, cfg.target_stds,
+            anchors_b[i], flat_reg[i], cfg.target_means, cfg.target_stds,
             wh_ratio_clip=16 / 1000,
         )
         if img_shapes is not None:

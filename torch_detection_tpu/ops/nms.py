@@ -36,24 +36,38 @@ class NMSResult(NamedTuple):
 
 
 def _greedy_suppress(iou: jnp.ndarray, iou_thr: float) -> jnp.ndarray:
-    """Exact greedy NMS over score-sorted candidates.
+    """Exact greedy NMS over score-sorted candidates, as a fixpoint iteration.
 
     ``iou`` is (K, K) for candidates sorted by descending score.  Returns a
-    (K,) keep mask.  Sequential over K via fori_loop; each step is one (K,)
-    vector op on the VPU.
+    (K,) keep mask identical to sequential greedy NMS.
+
+    TPU formulation: instead of K sequential steps, iterate
+        alive <- NOT any_i (alive_i AND iou[i, j] > thr AND i < j)
+    to its fixpoint.  The fixpoint is exactly the greedy solution (the
+    recurrence alive[j] = ~OR_{i<j}(alive[i] & suppress[i,j]) has a unique
+    solution); Jacobi iteration converges in O(longest suppression chain)
+    steps — typically < 10 — and each step is ONE (K, K) masked reduction on
+    the VPU instead of K tiny dependent ops.
     """
     k = iou.shape[0]
-    suppress = iou > iou_thr  # row i suppresses col j (j considered only when j > i)
     col = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
-    suppress = suppress & (col > row)
+    suppress = (iou > iou_thr) & (col > row)  # row i suppresses col j
 
-    def body(i, suppressed):
-        alive = jnp.logical_not(suppressed[i])
-        return suppressed | (alive & suppress[i])
+    def cond(state):
+        alive, prev, it = state
+        return (it < k) & jnp.any(alive != prev)
 
-    suppressed = jax.lax.fori_loop(0, k, body, jnp.zeros((k,), bool))
-    return jnp.logical_not(suppressed)
+    def body(state):
+        alive, _, it = state
+        killed = jnp.any(suppress & alive[:, None], axis=0)
+        return jnp.logical_not(killed), alive, it + 1
+
+    init = jnp.ones((k,), bool)
+    alive, _, _ = jax.lax.while_loop(
+        cond, body, (init, jnp.zeros((k,), bool), jnp.int32(0))
+    )
+    return alive
 
 
 def nms(

@@ -1,0 +1,24 @@
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    param_sharding_rules,
+    param_shardings,
+    replicated,
+    shard_batch,
+    shard_params,
+)
+from .train_step import TrainState, create_train_state, make_optimizer, make_train_step
+
+__all__ = [
+    "batch_sharding",
+    "make_mesh",
+    "param_sharding_rules",
+    "param_shardings",
+    "replicated",
+    "shard_batch",
+    "shard_params",
+    "TrainState",
+    "create_train_state",
+    "make_optimizer",
+    "make_train_step",
+]

@@ -1,0 +1,87 @@
+"""Device-mesh construction and sharding helpers.
+
+The reference's only distributed touchpoint is rank/world-size queries via
+``torch.distributed`` (``datasets/loader/dataset_sampler.py:94-103``); its
+launcher/backend tier never existed.  Here the TPU-native replacement is
+explicit: a ``jax.sharding.Mesh`` over ICI with named axes, NamedShardings
+for batch/params, and GSPMD-inserted collectives — no hand-written NCCL
+analog is needed (SURVEY.md §2 "Distributed communication backend").
+
+Axes:
+  * ``data``  — batch (data parallelism; gradient psum rides ICI),
+  * ``model`` — channel sharding of wide conv kernels (tensor parallelism).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, model) mesh.  ``data=None`` uses all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """device_put a pytree of host arrays with batch-dim sharding."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def param_sharding_rules(mesh: Mesh):
+    """A tree_map-compatible function assigning NamedShardings to params.
+
+    Tensor-parallel rule: shard the output-channel (last) dim of conv/dense
+    kernels over the ``model`` axis when divisible; everything else is
+    replicated.  With ``model=1`` this degenerates to pure data parallelism.
+    """
+    model_size = mesh.shape["model"]
+
+    def rule(x) -> NamedSharding:
+        shape = np.shape(x)
+        if (
+            model_size > 1
+            and len(shape) >= 2
+            and shape[-1] % model_size == 0
+            and shape[-1] >= 2 * model_size
+        ):
+            spec = [None] * (len(shape) - 1) + ["model"]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return rule
+
+
+def shard_params(mesh: Mesh, params):
+    rule = param_sharding_rules(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rule(x)), params)
+
+
+def param_shardings(mesh: Mesh, params):
+    """The sharding pytree matching ``params`` (for jit in/out_shardings)."""
+    rule = param_sharding_rules(mesh)
+    return jax.tree_util.tree_map(rule, params)
