@@ -1,0 +1,107 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torch_detection_tpu.models.backbones import (
+    MobileNet,
+    MobileNetV2,
+    ShuffleNet,
+    ShuffleNetV2,
+    VGG,
+)
+from torch_detection_tpu.utils import BACKBONES
+
+
+def run(m, hw=32, batch=1):
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(batch, hw, hw, 3)), jnp.float32)
+    vars_ = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    return m.apply(vars_, x), vars_
+
+
+class TestVGG:
+    def test_registered(self):
+        for name in ["VGG", "MobileNet", "MobileNetV2", "ShuffleNet", "ShuffleNetV2"]:
+            assert name in BACKBONES
+
+    def test_vgg16_shapes(self):
+        outs, _ = run(VGG(depth=16), hw=32)
+        assert len(outs) == 5
+        # widths: 64,128,256,512,512 (min rule); strides 2,4,8,16,32
+        assert [o.shape[-1] for o in outs] == [64, 128, 256, 512, 512]
+        assert [o.shape[1] for o in outs] == [16, 8, 4, 2, 1]
+
+    def test_vgg11_partial(self):
+        outs, _ = run(VGG(depth=11, num_stages=3, out_indices=(2,)), hw=32)
+        assert len(outs) == 1 and outs[0].shape[-1] == 256
+
+
+class TestMobileNet:
+    def test_v1_shapes(self):
+        outs, _ = run(MobileNet(width_multi=0.5), hw=64)
+        assert [o.shape[-1] for o in outs] == [32, 64, 128, 256, 512]
+        assert outs[0].shape[1] == 32 and outs[-1].shape[1] == 2
+
+    def test_v1_width_multi(self):
+        outs, _ = run(MobileNet(width_multi=0.25, num_stages=2, out_indices=(1,)), hw=32)
+        assert outs[0].shape[-1] == 32
+
+    def test_v2_shapes(self):
+        outs, _ = run(MobileNetV2(), hw=64)
+        assert [o.shape[-1] for o in outs] == [16, 24, 32, 64, 96, 160, 320]
+        # strides: 2 (stem), then 1,2,2,2,1,2,1
+        assert outs[-1].shape[1] == 2
+
+    def test_v2_last_conv(self):
+        outs, _ = run(MobileNetV2(num_stages=7, out_indices=(6,), with_last_conv=True), hw=32)
+        assert outs[0].shape[-1] == 1280
+
+    def test_v2_residual_grad_flow(self):
+        m = MobileNetV2(num_stages=2, out_indices=(1,))
+        x = jnp.ones((1, 32, 32, 3))
+        vars_ = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        # blocks with equal in/out and stride 1 must have residual adds:
+        # check output varies smoothly with input (jacobian nonzero)
+        g = jax.grad(lambda x: jnp.sum(m.apply(vars_, x)[0] ** 2))(x)
+        assert float(jnp.abs(g).sum()) > 0
+
+
+class TestShuffleNet:
+    def test_v1_shapes(self):
+        outs, _ = run(ShuffleNet(groups=3), hw=64)
+        assert [o.shape[-1] for o in outs] == [240, 480, 960]
+        # stem s2 + maxpool s2 + per-stage s2 -> strides 8, 16, 32
+        assert [o.shape[1] for o in outs] == [8, 4, 2]
+
+    def test_v1_groups(self):
+        outs, _ = run(ShuffleNet(groups=2, num_stages=1, out_indices=(0,)), hw=32)
+        assert outs[0].shape[-1] == 200
+
+    def test_v2_shapes(self):
+        outs, _ = run(ShuffleNetV2(width_mult=1.0), hw=64)
+        # final stage passes through conv5 -> 1024
+        assert [o.shape[-1] for o in outs] == [116, 232, 1024]
+
+    def test_v2_widths(self):
+        outs, _ = run(
+            ShuffleNetV2(width_mult=0.5, num_stages=2, out_indices=(0, 1), with_last_conv=False),
+            hw=32,
+        )
+        assert [o.shape[-1] for o in outs] == [48, 96]
+
+    def test_v2_no_last_conv(self):
+        outs, _ = run(ShuffleNetV2(width_mult=1.0, with_last_conv=False), hw=64)
+        assert outs[-1].shape[-1] == 464
+
+    def test_frozen_stages(self):
+        m = ShuffleNetV2(width_mult=0.5, num_stages=2, out_indices=(1,), frozen_stages=1)
+        x = jnp.ones((1, 32, 32, 3))
+        vars_ = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+
+        def loss(params):
+            return jnp.sum(m.apply({"params": params, "batch_stats": vars_["batch_stats"]}, x)[0] ** 2)
+
+        grads = jax.grad(loss)(vars_["params"])
+        s2 = jax.tree_util.tree_reduce(lambda a, g: a + jnp.abs(g).sum(), grads["stage2_0"], 0.0)
+        s3 = jax.tree_util.tree_reduce(lambda a, g: a + jnp.abs(g).sum(), grads["stage3_0"], 0.0)
+        assert float(s2) == 0.0 and float(s3) > 0.0

@@ -1,3 +1,16 @@
+from .mobilenet import MobileNet, MobileNetV2
 from .resnet import ResNet, ResNeXt, SEResNet, SEResNeXt
+from .shufflenet import ShuffleNet, ShuffleNetV2
+from .vgg import VGG
 
-__all__ = ["ResNet", "ResNeXt", "SEResNet", "SEResNeXt"]
+__all__ = [
+    "MobileNet",
+    "MobileNetV2",
+    "ResNet",
+    "ResNeXt",
+    "SEResNet",
+    "SEResNeXt",
+    "ShuffleNet",
+    "ShuffleNetV2",
+    "VGG",
+]
