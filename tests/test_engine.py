@@ -1,0 +1,172 @@
+import numpy as np
+import pytest
+
+from torch_detection_tpu.engine import (
+    detection_lr_schedule,
+    eval_coco_map,
+    eval_voc_map,
+    load_checkpoint,
+    merge_tta_detections,
+    save_checkpoint,
+)
+
+
+def det(boxes, scores, labels):
+    return dict(
+        boxes=np.asarray(boxes, np.float32).reshape(-1, 4),
+        scores=np.asarray(scores, np.float32),
+        labels=np.asarray(labels, np.int64),
+    )
+
+
+def ann(boxes, labels, ignore=None):
+    return dict(
+        bboxes=np.asarray(boxes, np.float32).reshape(-1, 4),
+        labels=np.asarray(labels, np.int64),
+        bboxes_ignore=np.asarray(ignore if ignore is not None else [], np.float32).reshape(-1, 4),
+    )
+
+
+class TestCocoMap:
+    def test_perfect_detection(self):
+        d = [det([[0, 0, 9, 9]], [0.9], [1])]
+        a = [ann([[0, 0, 9, 9]], [1])]
+        res = eval_coco_map(d, a, num_classes=1)
+        assert res["mAP"] == pytest.approx(1.0, abs=0.02)
+        assert res["mAP_50"] == pytest.approx(1.0, abs=0.02)
+
+    def test_miss_halves_ap(self):
+        d = [det([[0, 0, 9, 9]], [0.9], [1])]
+        a = [ann([[0, 0, 9, 9], [50, 50, 59, 59]], [1, 1])]
+        res = eval_coco_map(d, a, num_classes=1)
+        # recall caps at 0.5 -> AP ~ 0.5
+        assert 0.4 < res["mAP_50"] < 0.6
+
+    def test_false_positive_lowers_ap(self):
+        d_clean = [det([[0, 0, 9, 9]], [0.9], [1])]
+        d_fp = [det([[0, 0, 9, 9], [50, 50, 59, 59]], [0.9, 0.95], [1, 1])]
+        a = [ann([[0, 0, 9, 9]], [1])]
+        clean = eval_coco_map(d_clean, a, 1)["mAP_50"]
+        fp = eval_coco_map(d_fp, a, 1)["mAP_50"]
+        assert fp < clean
+
+    def test_localization_quality_matters(self):
+        # a det with IoU 0.6 scores at low thresholds but not high ones
+        d = [det([[0, 0, 9, 5]], [0.9], [1])]
+        a = [ann([[0, 0, 9, 9]], [1])]
+        res = eval_coco_map(d, a, 1)
+        assert res["mAP_50"] > 0.9
+        assert res["mAP_75"] < 0.1
+        assert 0.2 < res["mAP"] < 0.6
+
+    def test_crowd_region_not_penalized(self):
+        # det matching only a crowd/ignore region is neither TP nor FP
+        d = [det([[50, 50, 59, 59], [0, 0, 9, 9]], [0.95, 0.9], [1, 1])]
+        a = [ann([[0, 0, 9, 9]], [1], ignore=[[48, 48, 61, 61]])]
+        res = eval_coco_map(d, a, 1)
+        assert res["mAP_50"] == pytest.approx(1.0, abs=0.02)
+
+    def test_wrong_class_is_fp(self):
+        d = [det([[0, 0, 9, 9]], [0.9], [2])]
+        a = [ann([[0, 0, 9, 9]], [1])]
+        res = eval_coco_map(d, a, 2)
+        assert res["mAP_50"] == pytest.approx(0.0, abs=0.01)
+
+    def test_area_ranges(self):
+        d = [det([[0, 0, 9, 9]], [0.9], [1])]  # area 100 -> small
+        a = [ann([[0, 0, 9, 9]], [1])]
+        small = eval_coco_map(d, a, 1, area_range="small")["mAP_50"]
+        large = eval_coco_map(d, a, 1, area_range="large")["mAP_50"]
+        assert small == pytest.approx(1.0, abs=0.02)
+        assert np.isnan(large) or large == 0.0
+
+
+class TestVocMap:
+    def test_perfect(self):
+        d = [det([[0, 0, 9, 9]], [0.9], [1])]
+        a = [ann([[0, 0, 9, 9]], [1])]
+        assert eval_voc_map(d, a, 1)["mAP"] == pytest.approx(1.0, abs=0.01)
+        assert eval_voc_map(d, a, 1, use_07_metric=True)["mAP"] == pytest.approx(1.0, abs=0.01)
+
+    def test_ranked_pr(self):
+        # 2 dets: high-score TP, low-score FP -> AP stays 1.0 at full recall
+        d = [det([[0, 0, 9, 9], [30, 30, 39, 39]], [0.9, 0.3], [1, 1])]
+        a = [ann([[0, 0, 9, 9]], [1])]
+        assert eval_voc_map(d, a, 1)["mAP"] == pytest.approx(1.0, abs=0.01)
+        # FP ranked above TP halves 11-point AP area
+        d2 = [det([[0, 0, 9, 9], [30, 30, 39, 39]], [0.3, 0.9], [1, 1])]
+        assert eval_voc_map(d2, a, 1)["mAP"] < 0.6
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        variables = {
+            "params": {"conv": {"kernel": np.ones((3, 3, 2, 4), np.float32)}},
+            "batch_stats": {"bn": {"mean": np.zeros(4, np.float32)}},
+        }
+        path = str(tmp_path / "ckpt")
+        save_checkpoint(path, variables, meta={"epoch": 3})
+        init = {
+            "params": {"conv": {"kernel": np.zeros((3, 3, 2, 4), np.float32)}},
+            "batch_stats": {"bn": {"mean": np.ones(4, np.float32)}},
+        }
+        loaded, meta = load_checkpoint(init, path)
+        assert meta["epoch"] == 3
+        np.testing.assert_array_equal(loaded["params"]["conv"]["kernel"], 1.0)
+        np.testing.assert_array_equal(loaded["batch_stats"]["bn"]["mean"], 0.0)
+
+    def test_tolerant_mismatch(self, tmp_path, caplog):
+        variables = {"params": {"a": np.ones(3), "b": np.ones(2)}}
+        path = str(tmp_path / "ckpt2")
+        save_checkpoint(path, {"params": {"a": np.zeros(3), "c": np.ones(1)}})
+        loaded, _ = load_checkpoint(variables, path, strict=False)
+        np.testing.assert_array_equal(loaded["params"]["a"], 0.0)
+        np.testing.assert_array_equal(loaded["params"]["b"], 1.0)
+        with pytest.raises(RuntimeError):
+            load_checkpoint(variables, path, strict=True)
+
+    def test_torch_scheme(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        import torch
+
+        import torch_refs
+        from torch_detection_tpu.models.backbones import ResNet
+
+        tm = torch_refs.torch_resnet18()
+        p = str(tmp_path / "w.pth")
+        torch.save({"state_dict": tm.state_dict()}, p)
+
+        m = ResNet(depth=18, num_stages=1, out_indices=(0,))
+        x = jnp.zeros((1, 32, 32, 3))
+        vars_ = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        loaded, meta = load_checkpoint(vars_, f"torch://{p}", strict=False)
+        want = tm.conv1.weight.detach().numpy().transpose(2, 3, 1, 0)
+        np.testing.assert_allclose(
+            np.asarray(loaded["params"]["stem"]["conv"]["kernel"]), want, rtol=1e-6
+        )
+
+
+class TestTTA:
+    def test_flip_and_scale_merge(self):
+        # same object seen in two augs: scale 2.0 and hflipped scale 1.0
+        meta1 = dict(img_shape=(200, 200), scale_factor=2.0, flipped_flag=False)
+        meta2 = dict(img_shape=(100, 100), scale_factor=1.0, flipped_flag=True, flipped_direction="horizontal")
+        det1 = dict(boxes=np.array([[20.0, 20.0, 60.0, 60.0]]), scores=np.array([0.8]), labels=np.array([0]))
+        # original box [10,10,30,30]; flipped in 100-wide frame: x1=100-30-1=69
+        det2 = dict(boxes=np.array([[69.0, 10.0, 89.0, 30.0]]), scores=np.array([0.9]), labels=np.array([0]))
+        fused = merge_tta_detections([det1, det2], [meta1, meta2], iou_thr=0.5)
+        assert len(fused["boxes"]) == 1  # duplicates fused
+        assert fused["scores"][0] == pytest.approx(0.9)
+        np.testing.assert_allclose(fused["boxes"][0], [10, 10, 30, 30], atol=1.0)
+
+
+def test_lr_schedule():
+    import jax.numpy as jnp
+
+    sched = detection_lr_schedule(0.01, steps_per_epoch=100, total_epochs=12, warmup_steps=10)
+    assert float(sched(0)) == pytest.approx(0.01 / 3, rel=1e-3)
+    assert float(sched(10)) == pytest.approx(0.01, rel=1e-3)
+    assert float(sched(799)) == pytest.approx(0.01, rel=1e-3)
+    assert float(sched(801)) == pytest.approx(0.001, rel=1e-3)
+    assert float(sched(1101)) == pytest.approx(0.0001, rel=1e-3)

@@ -1,0 +1,145 @@
+"""Training loop: epochs, LR schedule, sharded step, checkpoints, metrics.
+
+The reference has no trainer (SURVEY.md §2 #33 [ABSENT]); this is the
+TPU-native design: ONE jitted train step (loss + grads + optimizer update,
+GSPMD-sharded over the mesh) driven by a host loop that only feeds batches
+and logs.  The host never touches device values except at the logging
+interval (async dispatch keeps the chip busy while the next batch decodes).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..parallel.mesh import shard_batch, shard_params
+from ..parallel.train_step import TrainState, create_train_state, make_train_step
+from .checkpoint import save_checkpoint
+
+logger = logging.getLogger(__name__)
+
+
+def detection_lr_schedule(
+    base_lr: float,
+    steps_per_epoch: int,
+    total_epochs: int,
+    decay_epochs=(8, 11),
+    decay_factor: float = 0.1,
+    warmup_steps: int = 500,
+    warmup_ratio: float = 1.0 / 3.0,
+) -> optax.Schedule:
+    """mmdetection-style schedule: linear warmup then step decay."""
+    boundaries = {int(e * steps_per_epoch): decay_factor for e in decay_epochs}
+    main = optax.piecewise_constant_schedule(base_lr, boundaries)
+
+    def schedule(step):
+        warm = base_lr * (warmup_ratio + (1 - warmup_ratio) * jnp.minimum(step, warmup_steps) / warmup_steps)
+        return jnp.where(step < warmup_steps, warm, main(step))
+
+    return schedule
+
+
+class Trainer:
+    """Drives (model loss_fn, optimizer, dataloader) for N epochs.
+
+    ``loss_fn(params, batch_stats, batch) -> (loss, metrics)`` — typically a
+    closure over a detector and ``retina_loss``.
+    """
+
+    def __init__(
+        self,
+        loss_fn: Callable,
+        variables: Dict[str, Any],
+        tx: optax.GradientTransformation,
+        dataloader,
+        mesh=None,
+        work_dir: str = "work_dir",
+        log_interval: int = 50,
+        checkpoint_interval_epochs: int = 1,
+        max_keep_checkpoints: int = 3,
+        profile_dir: Optional[str] = None,
+    ):
+        self.loss_fn = loss_fn
+        self.tx = tx
+        self.dataloader = dataloader
+        self.mesh = mesh
+        self.work_dir = os.path.abspath(work_dir)
+        os.makedirs(self.work_dir, exist_ok=True)
+        self.log_interval = log_interval
+        self.checkpoint_interval_epochs = checkpoint_interval_epochs
+        self.max_keep_checkpoints = max_keep_checkpoints
+        self.profile_dir = profile_dir
+        self._saved = []
+
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats")
+        if mesh is not None:
+            params = shard_params(mesh, params)
+            if batch_stats is not None:
+                batch_stats = shard_params(mesh, batch_stats)
+        self.state = create_train_state(params, tx, batch_stats=batch_stats)
+        step_builder = make_train_step(loss_fn, tx, mesh=mesh)
+        self.train_step = step_builder(self.state) if mesh is not None else step_builder
+        self.history: list = []
+
+    def run(self, num_epochs: int, start_epoch: int = 0) -> TrainState:
+        global_step = int(self.state.step)
+        for epoch in range(start_epoch, num_epochs):
+            self.dataloader.set_epoch(epoch)
+            epoch_t0 = time.perf_counter()
+            n_images = 0
+            if self.profile_dir and epoch == start_epoch:
+                jax.profiler.start_trace(self.profile_dir)
+            window_t0 = time.perf_counter()
+            for batch in self.dataloader:
+                meta = batch.pop("img_meta", None)
+                dev_batch = shard_batch(self.mesh, batch) if self.mesh is not None else batch
+                self.state, metrics = self.train_step(self.state, dev_batch)
+                n_images += batch["image"].shape[0]
+                global_step += 1
+                if global_step % self.log_interval == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    dt = time.perf_counter() - window_t0
+                    window_t0 = time.perf_counter()
+                    ips = self.log_interval * batch["image"].shape[0] / max(dt, 1e-9)
+                    metrics["images_per_sec"] = ips
+                    metrics["epoch"] = epoch
+                    metrics["step"] = global_step
+                    self.history.append(metrics)
+                    logger.info(
+                        "epoch %d step %d loss %.4f (cls %.4f reg %.4f) %.1f img/s",
+                        epoch, global_step, metrics.get("loss", 0.0),
+                        metrics.get("loss_cls", 0.0), metrics.get("loss_reg", 0.0), ips,
+                    )
+            if self.profile_dir and epoch == start_epoch:
+                jax.profiler.stop_trace()
+            epoch_dt = time.perf_counter() - epoch_t0
+            logger.info("epoch %d done: %d images in %.1fs", epoch, n_images, epoch_dt)
+            if (epoch + 1) % self.checkpoint_interval_epochs == 0:
+                self._checkpoint(epoch)
+        return self.state
+
+    def _checkpoint(self, epoch: int) -> None:
+        path = os.path.join(self.work_dir, f"epoch_{epoch + 1}")
+        variables = {"params": self.state.params}
+        if self.state.batch_stats is not None:
+            variables["batch_stats"] = self.state.batch_stats
+        save_checkpoint(
+            path, variables, opt_state=self.state.opt_state,
+            meta={"epoch": epoch + 1, "step": int(self.state.step)},
+        )
+        self._saved.append(path)
+        # retention: keep the newest k checkpoints (failure-recovery window)
+        while len(self._saved) > self.max_keep_checkpoints:
+            old = self._saved.pop(0)
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)
+        logger.info("saved checkpoint %s", path)
