@@ -1,0 +1,116 @@
+"""Builder + CLI tools smoke tests on the tiny COCO fixture."""
+
+import os
+import os.path as osp
+import subprocess
+import sys
+
+import pytest
+
+from data_fixtures import make_coco
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+TINY_CFG = """
+num_classes = 2
+model = dict(
+    type="SingleStageDetector",
+    backbone=dict(type="ResNet", depth=18, num_stages=4, out_indices=(1, 2, 3)),
+    neck=dict(type="FPN", in_channels=(128, 256, 512), out_channels=16, num_outs=5,
+              add_extra_convs=True),
+    head=dict(type="RetinaHead", num_classes=num_classes, in_channels=16,
+              feat_channels=16, stacked_convs=1, num_base_anchors=9),
+)
+detection = dict(
+    num_classes=num_classes,
+    anchor=dict(strides=(8, 16, 32, 64, 128)),
+    assigner=dict(pos_iou_thr=0.5, neg_iou_thr=0.4),
+    max_detections=10,
+    pre_nms_top_k=100,
+)
+data = dict(
+    train=dict(
+        type="CocoDataset",
+        ann_file="{ann_file}",
+        img_prefix="{img_dir}",
+        img_means=(0, 0, 0),
+        img_stds=(1, 1, 1),
+        img_expected_sizes=(100, 60),
+        size_divisor=32,
+        flip_ratio=0.5,
+    ),
+    val=dict(
+        type="CocoDataset",
+        ann_file="{ann_file}",
+        img_prefix="{img_dir}",
+        img_means=(0, 0, 0),
+        img_stds=(1, 1, 1),
+        img_expected_sizes=(100, 60),
+        size_divisor=32,
+        test_mode=True,
+    ),
+    sample_per_replica=2,
+    max_gts=8,
+    canvas=(128, 128),
+)
+optimizer = dict(lr=0.001, grad_clip_norm=35.0)
+schedule = dict(total_epochs=1, warmup_steps=2)
+runtime = dict(work_dir="{work_dir}", log_interval=1, mesh=dict(model=1))
+"""
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg_file(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tools"))
+    ann_file, img_dir = make_coco(osp.join(root, "coco"))
+    cfg_path = osp.join(root, "tiny.py")
+    with open(cfg_path, "w") as f:
+        f.write(
+            TINY_CFG.format(
+                ann_file=ann_file, img_dir=img_dir, work_dir=osp.join(root, "work")
+            )
+        )
+    return cfg_path, root
+
+
+def test_builder(tiny_cfg_file):
+    cfg_path, _ = tiny_cfg_file
+    from torch_detection_tpu.builder import build_train_objects
+    from torch_detection_tpu.utils import Config
+
+    cfg = Config.fromfile(cfg_path)
+    model, det_cfg, loader, tx = build_train_objects(cfg)
+    assert det_cfg.num_classes == 2
+    assert det_cfg.max_detections == 10
+    assert len(loader) >= 1
+
+
+def _run(script, *args):
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/td_jax_cache")
+    return subprocess.run(
+        [sys.executable, osp.join(REPO, "tools", script), *args],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=900,
+    )
+
+
+@pytest.mark.slow
+def test_train_cli(tiny_cfg_file):
+    cfg_path, root = tiny_cfg_file
+    res = _run("train.py", cfg_path, "--epochs", "1")
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert osp.isdir(osp.join(root, "work", "epoch_1"))
+
+
+@pytest.mark.slow
+def test_test_cli(tiny_cfg_file):
+    cfg_path, root = tiny_cfg_file
+    ckpt = osp.join(root, "work", "epoch_1")
+    if not osp.isdir(ckpt):
+        res = _run("train.py", cfg_path, "--epochs", "1")
+        assert res.returncode == 0, res.stderr[-3000:]
+    res = _run("test.py", cfg_path, ckpt, "--max-images", "2")
+    assert res.returncode == 0, res.stderr[-3000:]
+    assert "mAP" in res.stdout

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Train a detector from a config file.
+
+Usage: python tools/train.py configs/retinanet_r50_fpn_coco.py [--epochs N]
+       [--work-dir DIR] [--resume CKPT] [--pretrained torch://w.pth]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="train a detector")
+    parser.add_argument("config")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--work-dir", default=None)
+    parser.add_argument("--resume", default=None, help="checkpoint dir to resume from")
+    parser.add_argument("--pretrained", default=None, help="e.g. torch://resnet50.pth")
+    parser.add_argument("--profile-dir", default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+
+    import jax
+    import jax.numpy as jnp
+
+    from torch_detection_tpu.builder import build_train_objects
+    from torch_detection_tpu.engine import Trainer, load_checkpoint, load_checkpoint_file
+    from torch_detection_tpu.models.detectors import retina_loss
+    from torch_detection_tpu.parallel import make_mesh
+    from torch_detection_tpu.utils import Config
+
+    cfg = Config.fromfile(args.config)
+    runtime = cfg.get("runtime", {})
+    work_dir = args.work_dir or runtime.get("work_dir", "work_dirs/default")
+    total_epochs = args.epochs or cfg.get("schedule", {}).get("total_epochs", 12)
+
+    mesh_cfg = runtime.get("mesh", {})
+    mesh = make_mesh(model=mesh_cfg.get("model", 1))
+    logging.info("mesh: %s over %d devices", dict(mesh.shape), len(jax.devices()))
+
+    model, det_cfg, loader, tx = build_train_objects(cfg, data_parallel=mesh.shape["data"])
+
+    canvas = tuple(cfg["data"].get("canvas") or (800, 1344))
+    batch = cfg["data"].get("sample_per_replica", 2) * mesh.shape["data"]
+    x = jnp.zeros((batch, canvas[0], canvas[1], 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(args.seed), x)
+
+    pretrained = args.pretrained or runtime.get("pretrained")
+    if pretrained:
+        variables, _ = load_checkpoint(variables, pretrained, strict=False)
+        logging.info("loaded pretrained weights from %s", pretrained)
+
+    def loss_fn(params, batch_stats, batch_data):
+        cls, reg = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch_data["image"], train=True
+        )
+        losses = retina_loss(
+            det_cfg, cls, reg,
+            batch_data["gt_boxes"], batch_data["gt_labels"], batch_data["gt_valid"],
+            img_shapes=batch_data["img_shape"],
+        )
+        return losses["loss"], {
+            "loss_cls": losses["loss_cls"],
+            "loss_reg": losses["loss_reg"],
+            "num_pos": losses["num_pos"],
+        }
+
+    trainer = Trainer(
+        loss_fn, variables, tx, loader, mesh=mesh,
+        work_dir=work_dir,
+        log_interval=runtime.get("log_interval", 50),
+        checkpoint_interval_epochs=runtime.get("checkpoint_interval_epochs", 1),
+        profile_dir=args.profile_dir,
+    )
+    start_epoch = 0
+    if args.resume:
+        payload = load_checkpoint_file(args.resume)
+        start_epoch = int(payload.get("meta", {}).get("epoch", 0))
+        logging.info("resuming from %s at epoch %d", args.resume, start_epoch)
+        from torch_detection_tpu.parallel import TrainState, shard_params
+
+        variables = payload["variables"]
+        trainer.state = TrainState(
+            step=jnp.asarray(payload["meta"].get("step", 0), jnp.int32),
+            params=shard_params(mesh, variables["params"]),
+            opt_state=(
+                jax.tree_util.tree_map(lambda x: shard_params(mesh, x), payload["opt_state"])
+                if "opt_state" in payload
+                else tx.init(variables["params"])
+            ),
+            batch_stats=shard_params(mesh, variables.get("batch_stats")) if variables.get("batch_stats") else None,
+        )
+
+    trainer.run(total_epochs, start_epoch=start_epoch)
+
+
+if __name__ == "__main__":
+    main()

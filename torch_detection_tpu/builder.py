@@ -1,0 +1,103 @@
+"""Config -> objects: build detector, detection config, datasets, optimizer.
+
+The glue the reference left absent (no tools/, SURVEY.md §2 #33): one place
+that turns the dict-config surface (configs/*.py) into the flax model, the
+static RetinaNetConfig, loaders, and the optax optimizer.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+
+from .models.detectors import RetinaNetConfig, SingleStageDetector
+from .ops.anchors import AnchorGenerator
+from .ops.assign import MaxIoUAssigner
+from .utils.registry import DETECTORS
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}
+
+
+def build_detector(model_cfg: Dict[str, Any], compute_dtype: Optional[str] = None):
+    cfg = {k: dict(v) if isinstance(v, dict) else v for k, v in dict(model_cfg).items()}
+    if compute_dtype is not None:
+        dtype = _DTYPES[compute_dtype]
+        for key in ("backbone", "neck", "head"):
+            if key in cfg and isinstance(cfg[key], dict):
+                cfg[key].setdefault("dtype", dtype)
+    return DETECTORS.build(cfg)
+
+
+def build_detection_cfg(det_cfg: Dict[str, Any]) -> RetinaNetConfig:
+    cfg = dict(det_cfg)
+    anchor = dict(cfg.pop("anchor", {}))
+    assigner = dict(cfg.pop("assigner", {}))
+    kwargs: Dict[str, Any] = {}
+    if anchor:
+        kwargs["anchor_generator"] = AnchorGenerator(
+            strides=tuple(anchor.get("strides", (8, 16, 32, 64, 128))),
+            ratios=tuple(anchor.get("ratios", (0.5, 1.0, 2.0))),
+            scales=tuple(anchor["scales"]) if "scales" in anchor else None,
+            octave_base_scale=anchor.get("octave_base_scale", 4.0),
+            scales_per_octave=anchor.get("scales_per_octave", 3),
+        )
+    if assigner:
+        kwargs["assigner"] = MaxIoUAssigner(**assigner)
+    for key in (
+        "num_classes", "target_means", "target_stds", "focal_gamma", "focal_alpha",
+        "smooth_l1_beta", "reg_loss_weight", "score_thr", "nms_iou_thr",
+        "pre_select_per_level", "pre_nms_top_k", "max_detections",
+    ):
+        if key in cfg:
+            v = cfg[key]
+            kwargs[key] = tuple(v) if isinstance(v, list) else v
+    return RetinaNetConfig(**kwargs)
+
+
+def build_train_objects(cfg, data_parallel: int = 1) -> Tuple[Any, RetinaNetConfig, Any, Any]:
+    """(model, det_cfg, train_loader, tx) from a full config tree.
+
+    ``data_parallel`` = size of the mesh's data axis on this host; the host
+    batch is ``sample_per_replica * data_parallel`` so every data shard gets
+    ``sample_per_replica`` images.
+    """
+    import jax
+
+    from .data import build_dataloader, get_datasets
+    from .engine.trainer import detection_lr_schedule
+    from .parallel import make_optimizer
+
+    runtime = cfg.get("runtime", {})
+    model = build_detector(cfg["model"], runtime.get("compute_dtype"))
+    det_cfg = build_detection_cfg(cfg["detection"])
+
+    data_cfg = cfg["data"]
+    dataset = get_datasets(dict(data_cfg["train"]))
+    loader = build_dataloader(
+        dataset,
+        sample_per_replica=data_cfg.get("sample_per_replica", 2) * data_parallel,
+        dist=jax.process_count() > 1,
+        max_gts=data_cfg.get("max_gts", 100),
+        canvas=tuple(data_cfg["canvas"]) if data_cfg.get("canvas") else None,
+        size_divisor=data_cfg["train"].get("size_divisor", 32) or 32,
+    )
+
+    opt_cfg = cfg.get("optimizer", {})
+    sched_cfg = cfg.get("schedule", {})
+    steps_per_epoch = max(len(loader), 1)
+    schedule = detection_lr_schedule(
+        opt_cfg.get("lr", 0.01),
+        steps_per_epoch=steps_per_epoch,
+        total_epochs=sched_cfg.get("total_epochs", 12),
+        decay_epochs=tuple(sched_cfg.get("decay_epochs", (8, 11))),
+        warmup_steps=sched_cfg.get("warmup_steps", 500),
+        warmup_ratio=sched_cfg.get("warmup_ratio", 1.0 / 3),
+    )
+    tx = make_optimizer(
+        learning_rate=schedule,
+        momentum=opt_cfg.get("momentum", 0.9),
+        weight_decay=opt_cfg.get("weight_decay", 1e-4),
+        grad_clip_norm=opt_cfg.get("grad_clip_norm"),
+    )
+    return model, det_cfg, loader, tx

@@ -61,9 +61,8 @@ class GroupSampler:
                 continue
             idx = np.where(self.flag == i)[0]
             rng.shuffle(idx)
-            extra = int(np.ceil(size / self.sample_per_replica)) * self.sample_per_replica - len(idx)
-            idx = np.concatenate([idx, idx[:extra]])
-            chunks.append(idx)
+            pad_to = int(np.ceil(size / self.sample_per_replica)) * self.sample_per_replica
+            chunks.append(np.resize(idx, pad_to))  # cyclic repeat when pad > size
         indices = np.concatenate(chunks)
         batches = indices.reshape(-1, self.sample_per_replica)
         batches = batches[rng.permutation(len(batches))]
@@ -147,8 +146,7 @@ class DistributedGroupSampler:
                 * self.sample_per_replica
                 * self.num_replicas
             )
-            idx = np.concatenate([idx, idx[: pad_to - len(idx)]])
-            chunks.append(idx)
+            chunks.append(np.resize(idx, pad_to))  # cyclic repeat when pad > size
         indices = np.concatenate(chunks)
         assert len(indices) == self.total_size
         batches = indices.reshape(-1, self.sample_per_replica)

@@ -1,0 +1,98 @@
+"""Fused on-device image preprocessing (Pallas TPU kernel).
+
+BASELINE.json's north star asks for the reference's normalize / pad chain
+(``datasets/utils/image.py:87-105,326-347`` + ``dataset_transforms.py:29-44``)
+fused into a single device kernel.  The TPU-native split of work:
+
+  host   : jpeg decode + cv2 keep-ratio resize + flip + place on uint8 canvas
+  wire   : transfer **uint8** (4x fewer bytes than float32 over PCIe/DMA)
+  device : ONE Pallas kernel: u8 -> f32, (x - mean) / std, zero the padding
+           region beyond each image's true (h, w), cast to compute dtype
+
+Layout note: channels-last with C=3 would waste 125/128 VPU lanes, so the
+kernel views each image as (H, W*C) — the mean/std vectors are pre-tiled to
+period-C patterns along the lane dimension, making the whole op a dense
+8x128-aligned elementwise pass.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _normalize_kernel(shape_ref, img_ref, mean_ref, inv_std_ref, out_ref):
+    """One image per grid step: normalize + mask the padding region."""
+    i = pl.program_id(0)
+    h = shape_ref[i, 0]
+    w_elems = shape_ref[i, 1]  # valid width in flattened w*c elements
+
+    x = img_ref[0].astype(jnp.float32)
+    y = (x - mean_ref[0]) * inv_std_ref[0]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    mask = (rows < h) & (cols < w_elems)
+    out_ref[0] = jnp.where(mask, y, 0.0).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def fused_normalize_pad(
+    images_u8: jax.Array,  # (B, H, W, C) uint8, zero-padded canvases
+    img_shapes: jax.Array,  # (B, 2) int32 valid (h, w) per image
+    mean: Tuple[float, ...] = (123.675, 116.28, 103.53),
+    std: Tuple[float, ...] = (58.395, 57.12, 57.375),
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns (B, H, W, C) ``out_dtype`` normalized images with zeroed pads."""
+    b, h, w, c = images_u8.shape
+    wc = w * c
+    flat = images_u8.reshape(b, h, wc)
+
+    mean_vec = jnp.tile(jnp.asarray(mean, jnp.float32), w).reshape(1, wc)
+    inv_std_vec = jnp.tile(1.0 / jnp.asarray(std, jnp.float32), w).reshape(1, wc)
+    # scalar-prefetched shapes: (h, w*c) per image
+    shapes_flat = jnp.stack(
+        [img_shapes[:, 0].astype(jnp.int32), img_shapes[:, 1].astype(jnp.int32) * c],
+        axis=1,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, wc), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wc), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wc), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, wc), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _normalize_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, wc), out_dtype),
+        interpret=interpret,
+    )(shapes_flat, flat, mean_vec, inv_std_vec)
+    return out.reshape(b, h, w, c)
+
+
+def normalize_pad_reference(
+    images_u8: np.ndarray,
+    img_shapes: np.ndarray,
+    mean=(123.675, 116.28, 103.53),
+    std=(58.395, 57.12, 57.375),
+) -> np.ndarray:
+    """Numpy oracle for the kernel (same math as the host-side
+    img_normalize + zero-pad semantics)."""
+    out = (images_u8.astype(np.float32) - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+    for i, (h, w) in enumerate(np.asarray(img_shapes)):
+        out[i, int(h):, :, :] = 0.0
+        out[i, :, int(w):, :] = 0.0
+    return out
