@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 HW = (800, 1216)
-BATCH = 8
+BATCH = 16
 NUM_CLASSES = 80
 CACHE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_CPU.json")
 CACHE_KEY = f"torch_cpu_retina_r50_{HW[0]}x{HW[1]}"
@@ -127,6 +127,7 @@ def measure_tpu() -> float:
 
     from __graft_entry__ import _build_model
     from torch_detection_tpu.models.detectors import RetinaNetConfig, decode_detections
+    from torch_detection_tpu.ops.preprocess import fused_normalize_pad
 
     model = _build_model(depth=50, feat_channels=256, num_classes=NUM_CLASSES, dtype=jnp.bfloat16)
     cfg = RetinaNetConfig(num_classes=NUM_CLASSES)
@@ -138,25 +139,32 @@ def measure_tpu() -> float:
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
 
     @jax.jit
-    def infer(variables, x):
+    def infer(variables, x_u8, img_shapes, carry):
+        # full production path: fused Pallas preprocessing (u8 -> normalized
+        # bf16, pad masked) -> backbone+FPN+head -> decode+NMS
+        x = fused_normalize_pad(x_u8, img_shapes, out_dtype=jnp.bfloat16)
         cls, reg = model.apply(variables, x)
         d = decode_detections(cfg, cls, reg)
-        # reduce to one scalar: forces full execution on readback (the axon
-        # backend's block_until_ready does not synchronize reliably)
-        return jnp.sum(d.scores) + jnp.sum(d.boxes)
+        # carry chains the iterations so ONE readback at the end forces all
+        # executions to complete (the axon backend's block_until_ready does
+        # not synchronize reliably; a per-iteration readback would add a
+        # ~25ms tunnel round-trip to every step)
+        return carry + jnp.sum(d.scores) + jnp.sum(d.boxes)
 
     rng = np.random.default_rng(0)
-    host = rng.normal(size=(BATCH, *HW, 3)).astype(np.float32)
-    xb = jax.device_put(jnp.asarray(host, jnp.bfloat16))
+    host = rng.integers(0, 255, size=(BATCH, *HW, 3), dtype=np.uint8)
+    xb = jax.device_put(jnp.asarray(host))
+    shapes = jax.device_put(jnp.asarray([[HW[0], HW[1]]] * BATCH, jnp.int32))
 
     # warmup / compile
-    float(infer(variables, xb))
-    float(infer(variables, xb))
+    float(infer(variables, xb, shapes, jnp.zeros(())))
 
     iters = 20
     t0 = time.perf_counter()
+    acc = jnp.zeros(())
     for _ in range(iters):
-        v = float(infer(variables, xb))
+        acc = infer(variables, xb, shapes, acc)
+    float(acc)
     dt = time.perf_counter() - t0
     return iters * BATCH / dt
 

@@ -27,16 +27,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_ROW_BLOCK = 256  # rows per grid step; bounds VMEM to ~2.8MB per buffer
+
+
 def _normalize_kernel(shape_ref, img_ref, mean_ref, inv_std_ref, out_ref):
-    """One image per grid step: normalize + mask the padding region."""
+    """One (image, row-block) per grid step: normalize + mask padding."""
     i = pl.program_id(0)
+    r = pl.program_id(1)
     h = shape_ref[i, 0]
     w_elems = shape_ref[i, 1]  # valid width in flattened w*c elements
 
-    x = img_ref[0].astype(jnp.float32)
+    # Mosaic has no direct u8->f32 cast; widen through int32 (free on the VPU)
+    x = img_ref[0].astype(jnp.int32).astype(jnp.float32)
     y = (x - mean_ref[0]) * inv_std_ref[0]
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + r * x.shape[0]
     cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     mask = (rows < h) & (cols < w_elems)
     out_ref[0] = jnp.where(mask, y, 0.0).astype(out_ref.dtype)
@@ -64,15 +69,18 @@ def fused_normalize_pad(
         axis=1,
     )
 
+    row_block = min(_ROW_BLOCK, h)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
+        grid=(b, pl.cdiv(h, row_block)),
         in_specs=[
-            pl.BlockSpec((1, h, wc), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wc), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wc), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, row_block, wc), lambda i, r, s: (i, r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wc), lambda i, r, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wc), lambda i, r, s: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, wc), lambda i, s: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, row_block, wc), lambda i, r, s: (i, r, 0), memory_space=pltpu.VMEM
+        ),
     )
     out = pl.pallas_call(
         _normalize_kernel,
