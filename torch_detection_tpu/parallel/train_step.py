@@ -58,6 +58,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     donate_state: bool = True,
+    skip_nonfinite: bool = True,
 ):
     """Build a jitted train step.
 
@@ -65,14 +66,31 @@ def make_train_step(
     With a mesh, the returned step expects the batch pre-sharded over
     ``data`` and keeps state shardings fixed across steps (stable layouts =
     no resharding traffic between steps).
+
+    ``skip_nonfinite`` is the failure-detection guard the reference lacks
+    (SURVEY.md §5): a step whose loss or global grad norm is NaN/Inf applies
+    a zero update instead of corrupting the params — on-device ``where``, no
+    host sync, so the guard is free.
     """
 
     def step_fn(state: TrainState, batch: Dict[str, jax.Array]):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch
         )
+        if skip_nonfinite:
+            gnorm = optax.global_norm(grads)
+            ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
+            )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        if skip_nonfinite:
+            # on a skipped step keep the old optimizer state too
+            new_opt = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old) if isinstance(new, jax.Array) else new,
+                new_opt, state.opt_state,
+            )
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
@@ -81,6 +99,8 @@ def make_train_step(
         )
         metrics = dict(metrics)
         metrics["loss"] = loss
+        if skip_nonfinite:
+            metrics["skipped_nonfinite"] = 1.0 - ok.astype(jnp.float32)
         return new_state, metrics
 
     if mesh is None:
@@ -116,11 +136,16 @@ def make_optimizer(
     clipping and a freeze mask (True = train, False = frozen — the TPU
     analog of the reference's ``bn_frozen`` / ``frozen_stages`` flags)."""
     chain = []
+    if frozen_mask is not None:
+        # zero frozen grads FIRST (optax.masked alone would pass the raw
+        # gradient through as the update for unmasked leaves)
+        inverted = jax.tree_util.tree_map(lambda m: not m, frozen_mask)
+        chain.append(optax.masked(optax.set_to_zero(), inverted))
     if grad_clip_norm is not None:
         chain.append(optax.clip_by_global_norm(grad_clip_norm))
-    chain.append(optax.add_decayed_weights(weight_decay))
-    chain.append(optax.sgd(learning_rate, momentum=momentum))
-    tx = optax.chain(*chain)
+    decay = optax.add_decayed_weights(weight_decay)
     if frozen_mask is not None:
-        tx = optax.masked(tx, frozen_mask)
-    return tx
+        decay = optax.masked(decay, frozen_mask)  # no decay drift on frozen params
+    chain.append(decay)
+    chain.append(optax.sgd(learning_rate, momentum=momentum))
+    return optax.chain(*chain)
