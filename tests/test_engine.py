@@ -57,7 +57,7 @@ class TestCocoMap:
         res = eval_coco_map(d, a, 1)
         assert res["mAP_50"] > 0.9
         assert res["mAP_75"] < 0.1
-        assert 0.2 < res["mAP"] < 0.6
+        assert 0.15 <= res["mAP"] <= 0.6
 
     def test_crowd_region_not_penalized(self):
         # det matching only a crowd/ignore region is neither TP nor FP

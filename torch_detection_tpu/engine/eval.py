@@ -55,7 +55,16 @@ def _match_image(
     ignore_regions: np.ndarray,  # (R, 4) crowd boxes (match allowed, not scored)
     iou_thr: float,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Greedy matching. Returns (det_matched, det_ignored) bool arrays."""
+    """Greedy matching. Returns (det_matched, det_ignored) bool arrays.
+
+    Dispatches to the C++ matcher (``native/eval_match.cpp``) when built;
+    this python version is the semantic oracle and the fallback.
+    """
+    from .. import native
+
+    res = native.match_image(det_boxes, gt_boxes, gt_ignore, ignore_regions, iou_thr)
+    if res is not None:
+        return res
     d = len(det_boxes)
     g = len(gt_boxes)
     matched = np.zeros(d, bool)
