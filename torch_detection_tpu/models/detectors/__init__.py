@@ -4,10 +4,20 @@ from .single_stage import (
     decode_detections,
     retina_loss,
 )
+from .two_stage import (
+    FasterRCNNConfig,
+    TwoStageDetector,
+    faster_rcnn_inference,
+    faster_rcnn_loss,
+)
 
 __all__ = [
     "RetinaNetConfig",
     "SingleStageDetector",
     "decode_detections",
     "retina_loss",
+    "FasterRCNNConfig",
+    "TwoStageDetector",
+    "faster_rcnn_inference",
+    "faster_rcnn_loss",
 ]

@@ -1,3 +1,13 @@
 from .anchor_head import RetinaHead, flatten_head_outputs
+from .bbox_head import BBoxHead
+from .rpn_head import ProposalConfig, Proposals, RPNHead, generate_proposals
 
-__all__ = ["RetinaHead", "flatten_head_outputs"]
+__all__ = [
+    "RetinaHead",
+    "flatten_head_outputs",
+    "BBoxHead",
+    "ProposalConfig",
+    "Proposals",
+    "RPNHead",
+    "generate_proposals",
+]
