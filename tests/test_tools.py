@@ -114,3 +114,33 @@ def test_test_cli(tiny_cfg_file):
     res = _run("test.py", cfg_path, ckpt, "--max-images", "2")
     assert res.returncode == 0, res.stderr[-3000:]
     assert "mAP" in res.stdout
+
+
+def test_faster_rcnn_config_builds():
+    from torch_detection_tpu.builder import build_detection_cfg, build_detector, build_loss_fn
+    from torch_detection_tpu.models.detectors import FasterRCNNConfig, TwoStageDetector
+    from torch_detection_tpu.utils import Config
+
+    cfg = Config.fromfile(osp.join(REPO, "configs", "faster_rcnn_r50_fpn_coco.py"))
+    model = build_detector(cfg["model"], "bfloat16")
+    assert isinstance(model, TwoStageDetector)
+    det_cfg = build_detection_cfg(cfg["detection"])
+    assert isinstance(det_cfg, FasterRCNNConfig)
+    assert det_cfg.num_classes == 80
+    assert det_cfg.anchor_generator.strides == (4, 8, 16, 32, 64)
+    assert callable(build_loss_fn(model, det_cfg))
+
+
+def test_retina_config_builds():
+    from torch_detection_tpu.builder import build_detection_cfg, build_detector
+    from torch_detection_tpu.models.detectors import RetinaNetConfig, SingleStageDetector
+    from torch_detection_tpu.utils import Config
+
+    cfg = Config.fromfile(osp.join(REPO, "configs", "retinanet_r50_fpn_coco.py"))
+    model = build_detector(cfg["model"], "bfloat16")
+    assert isinstance(model, SingleStageDetector)
+    det_cfg = build_detection_cfg(cfg["detection"])
+    assert isinstance(det_cfg, RetinaNetConfig)
+    cfg2 = Config.fromfile(osp.join(REPO, "configs", "retinanet_r101_fpn_voc.py"))
+    assert cfg2.model.backbone.depth == 101
+    assert build_detection_cfg(cfg2["detection"]).num_classes == 20

@@ -31,9 +31,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from torch_detection_tpu.builder import build_train_objects
+    from torch_detection_tpu.builder import build_loss_fn, build_train_objects
     from torch_detection_tpu.engine import Trainer, load_checkpoint, load_checkpoint_file
-    from torch_detection_tpu.models.detectors import retina_loss
+    from torch_detection_tpu.models.detectors import TwoStageDetector
     from torch_detection_tpu.parallel import make_mesh
     from torch_detection_tpu.utils import Config
 
@@ -52,26 +52,25 @@ def main() -> None:
     batch = cfg["data"].get("sample_per_replica", 2) * mesh.shape["data"]
     x = jnp.zeros((batch, canvas[0], canvas[1], 3), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(args.seed), x)
+    if isinstance(model, TwoStageDetector):
+        # the roi head is a separate method; init its params and merge
+        feat_ch = cfg["model"]["neck"]["out_channels"]
+        roi_size = getattr(det_cfg, "roi_size", 7)
+        roi_feats = jnp.zeros((1, 8, roi_size, roi_size, feat_ch), jnp.float32)
+        vars2 = model.init(
+            jax.random.PRNGKey(args.seed + 1), roi_feats, method=TwoStageDetector.roi_forward
+        )
+        variables = {
+            "params": {**variables["params"], **vars2["params"]},
+            "batch_stats": variables.get("batch_stats", {}),
+        }
 
     pretrained = args.pretrained or runtime.get("pretrained")
     if pretrained:
         variables, _ = load_checkpoint(variables, pretrained, strict=False)
         logging.info("loaded pretrained weights from %s", pretrained)
 
-    def loss_fn(params, batch_stats, batch_data):
-        cls, reg = model.apply(
-            {"params": params, "batch_stats": batch_stats}, batch_data["image"], train=True
-        )
-        losses = retina_loss(
-            det_cfg, cls, reg,
-            batch_data["gt_boxes"], batch_data["gt_labels"], batch_data["gt_valid"],
-            img_shapes=batch_data["img_shape"],
-        )
-        return losses["loss"], {
-            "loss_cls": losses["loss_cls"],
-            "loss_reg": losses["loss_reg"],
-            "num_pos": losses["num_pos"],
-        }
+    loss_fn = build_loss_fn(model, det_cfg, rng_seed=args.seed)
 
     trainer = Trainer(
         loss_fn, variables, tx, loader, mesh=mesh,

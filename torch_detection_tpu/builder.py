@@ -23,25 +23,49 @@ def build_detector(model_cfg: Dict[str, Any], compute_dtype: Optional[str] = Non
     cfg = {k: dict(v) if isinstance(v, dict) else v for k, v in dict(model_cfg).items()}
     if compute_dtype is not None:
         dtype = _DTYPES[compute_dtype]
-        for key in ("backbone", "neck", "head"):
+        for key in ("backbone", "neck", "head", "rpn_head", "bbox_head"):
             if key in cfg and isinstance(cfg[key], dict):
                 cfg[key].setdefault("dtype", dtype)
     return DETECTORS.build(cfg)
 
 
-def build_detection_cfg(det_cfg: Dict[str, Any]) -> RetinaNetConfig:
+def _build_anchor_generator(anchor: Dict[str, Any], default_octave=4.0) -> AnchorGenerator:
+    return AnchorGenerator(
+        strides=tuple(anchor.get("strides", (8, 16, 32, 64, 128))),
+        ratios=tuple(anchor.get("ratios", (0.5, 1.0, 2.0))),
+        scales=tuple(anchor["scales"]) if "scales" in anchor else None,
+        octave_base_scale=anchor.get(
+            "octave_base_scale", None if "scales" in anchor else default_octave
+        ),
+        scales_per_octave=anchor.get("scales_per_octave", 3),
+    )
+
+
+def build_detection_cfg(det_cfg: Dict[str, Any]):
+    """Build the static detection config: RetinaNetConfig (default) or
+    FasterRCNNConfig when ``style='faster_rcnn'``."""
     cfg = dict(det_cfg)
+    style = cfg.pop("style", "retina")
     anchor = dict(cfg.pop("anchor", {}))
     assigner = dict(cfg.pop("assigner", {}))
-    kwargs: Dict[str, Any] = {}
+
+    if style == "faster_rcnn":
+        from .models.detectors import FasterRCNNConfig
+
+        kwargs: Dict[str, Any] = {}
+        if anchor:
+            kwargs["anchor_generator"] = _build_anchor_generator(anchor)
+        for key in ("num_classes", "score_thr", "nms_iou_thr", "max_detections",
+                    "roi_size", "finest_scale", "rpn_num_samples",
+                    "rcnn_num_samples", "rcnn_pos_fraction", "smooth_l1_beta"):
+            if key in cfg:
+                v = cfg[key]
+                kwargs[key] = tuple(v) if isinstance(v, list) else v
+        return FasterRCNNConfig(**kwargs)
+
+    kwargs = {}
     if anchor:
-        kwargs["anchor_generator"] = AnchorGenerator(
-            strides=tuple(anchor.get("strides", (8, 16, 32, 64, 128))),
-            ratios=tuple(anchor.get("ratios", (0.5, 1.0, 2.0))),
-            scales=tuple(anchor["scales"]) if "scales" in anchor else None,
-            octave_base_scale=anchor.get("octave_base_scale", 4.0),
-            scales_per_octave=anchor.get("scales_per_octave", 3),
-        )
+        kwargs["anchor_generator"] = _build_anchor_generator(anchor)
     if assigner:
         kwargs["assigner"] = MaxIoUAssigner(**assigner)
     for key in (
@@ -53,6 +77,47 @@ def build_detection_cfg(det_cfg: Dict[str, Any]) -> RetinaNetConfig:
             v = cfg[key]
             kwargs[key] = tuple(v) if isinstance(v, list) else v
     return RetinaNetConfig(**kwargs)
+
+
+def build_loss_fn(model, det_cfg, rng_seed: int = 0):
+    """Return ``loss_fn(params, batch_stats, batch) -> (loss, metrics)`` for
+    the detector family implied by ``det_cfg``."""
+    import jax
+
+    from .models.detectors import (
+        FasterRCNNConfig,
+        TwoStageDetector,
+        faster_rcnn_loss,
+        retina_loss,
+    )
+
+    if isinstance(det_cfg, FasterRCNNConfig):
+        def loss_fn(params, batch_stats, batch):
+            variables = {"params": params, "batch_stats": batch_stats}
+            # derive a step rng from the batch content-free counter in the
+            # batch dict if present (roi sampling jitter); fall back to fixed
+            rng = jax.random.PRNGKey(rng_seed)
+            losses = faster_rcnn_loss(det_cfg, model, variables, batch, rng)
+            aux = {k: v for k, v in losses.items() if k != "loss"}
+            return losses["loss"], aux
+
+        return loss_fn
+
+    def loss_fn(params, batch_stats, batch):
+        cls, reg = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch["image"], train=True
+        )
+        losses = retina_loss(
+            det_cfg, cls, reg, batch["gt_boxes"], batch["gt_labels"],
+            batch["gt_valid"], img_shapes=batch.get("img_shape"),
+        )
+        return losses["loss"], {
+            "loss_cls": losses["loss_cls"],
+            "loss_reg": losses["loss_reg"],
+            "num_pos": losses["num_pos"],
+        }
+
+    return loss_fn
 
 
 def build_train_objects(cfg, data_parallel: int = 1) -> Tuple[Any, RetinaNetConfig, Any, Any]:
