@@ -175,3 +175,27 @@ class TestLoader:
         dl = build_dataloader(coco_ds, sample_per_replica=2, collate_fn=bad_collate)
         with pytest.raises(RuntimeError, match="boom"):
             list(dl)
+
+
+class TestDevicePrefetch:
+    def test_prefetch_to_device(self, coco_ds):
+        import jax
+
+        from torch_detection_tpu.data import build_dataloader, prefetch_to_device
+        from torch_detection_tpu.parallel import make_mesh
+
+        dl = build_dataloader(coco_ds, sample_per_replica=2, canvas=(128, 128))
+        mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+        batches = list(prefetch_to_device(dl, size=2, mesh=mesh))
+        assert len(batches) == 2
+        b = batches[0]
+        assert isinstance(b["image"], jax.Array)
+        assert "img_meta" in b and isinstance(b["img_meta"], list)
+        assert b["image"].sharding.num_devices == 2
+
+    def test_prefetch_short_iterator(self, coco_ds):
+        from torch_detection_tpu.data import build_dataloader, prefetch_to_device
+
+        dl = build_dataloader(coco_ds, sample_per_replica=2, canvas=(128, 128))
+        batches = list(prefetch_to_device(dl, size=10))
+        assert len(batches) == 2

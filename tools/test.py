@@ -41,7 +41,12 @@ def main() -> None:
         load_checkpoint,
         merge_tta_detections,
     )
-    from torch_detection_tpu.models.detectors import decode_detections
+    from torch_detection_tpu.models.detectors import (
+        FasterRCNNConfig,
+        TwoStageDetector,
+        decode_detections,
+        faster_rcnn_inference,
+    )
     from torch_detection_tpu.utils import Config
 
     cfg = Config.fromfile(args.config)
@@ -61,12 +66,37 @@ def main() -> None:
     canvas = tuple(cfg["data"].get("canvas") or (800, 1344))
     x = jnp.zeros((1, canvas[0], canvas[1], 3), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    if isinstance(model, TwoStageDetector):
+        roi_size = getattr(det_cfg, "roi_size", 7)
+        feat_ch = cfg["model"]["neck"]["out_channels"]
+        vars2 = model.init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, 8, roi_size, roi_size, feat_ch), jnp.float32),
+            method=TwoStageDetector.roi_forward,
+        )
+        variables = {
+            "params": {**variables["params"], **vars2["params"]},
+            "batch_stats": variables.get("batch_stats", {}),
+        }
     variables, _ = load_checkpoint(variables, args.checkpoint, strict=False)
 
-    @jax.jit
-    def infer(variables, image, img_shape, scale_factor):
-        cls, reg = model.apply(variables, image)
-        return decode_detections(det_cfg, cls, reg, img_shapes=img_shape, scale_factors=scale_factor)
+    if isinstance(det_cfg, FasterRCNNConfig):
+
+        @jax.jit
+        def infer(variables, image, img_shape, scale_factor):
+            return faster_rcnn_inference(
+                det_cfg, model, variables, image,
+                img_shapes=img_shape, scale_factors=scale_factor,
+            )
+
+    else:
+
+        @jax.jit
+        def infer(variables, image, img_shape, scale_factor):
+            cls, reg = model.apply(variables, image)
+            return decode_detections(
+                det_cfg, cls, reg, img_shapes=img_shape, scale_factors=scale_factor
+            )
 
     n = len(dataset) if args.max_images is None else min(args.max_images, len(dataset))
     detections, annotations = [], []

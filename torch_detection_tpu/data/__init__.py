@@ -37,3 +37,7 @@ __all__ = [
     "VOC_CLASSES",
     "VOCDataset",
 ]
+
+from .device import prefetch_to_device  # noqa: E402
+
+__all__.append("prefetch_to_device")
