@@ -11,3 +11,7 @@ __all__ = [
     "RPNHead",
     "generate_proposals",
 ]
+
+from .mask_head import FCNMaskHead, mask_loss, mask_targets_for_rois, paste_masks  # noqa: E402
+
+__all__ += ["FCNMaskHead", "mask_loss", "mask_targets_for_rois", "paste_masks"]
