@@ -105,3 +105,28 @@ class TestShuffleNet:
         s2 = jax.tree_util.tree_reduce(lambda a, g: a + jnp.abs(g).sum(), grads["stage2_0"], 0.0)
         s3 = jax.tree_util.tree_reduce(lambda a, g: a + jnp.abs(g).sum(), grads["stage3_0"], 0.0)
         assert float(s2) == 0.0 and float(s3) > 0.0
+
+
+class TestRemat:
+    def test_remat_matches_plain(self):
+        import jax
+        import jax.numpy as jnp
+        from torch_detection_tpu.models.backbones import ResNet
+
+        x = jnp.ones((1, 32, 32, 3))
+        plain = ResNet(depth=18, num_stages=2, out_indices=(1,))
+        remat = ResNet(depth=18, num_stages=2, out_indices=(1,), remat=True)
+        vars_ = jax.jit(plain.init)(jax.random.PRNGKey(0), x)
+        out_p = plain.apply(vars_, x)[0]
+        out_r = remat.apply(vars_, x)[0]
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r), rtol=1e-6)
+
+        def loss(m):
+            def f(params):
+                return jnp.sum(m.apply({"params": params, "batch_stats": vars_["batch_stats"]}, x)[0] ** 2)
+            return jax.grad(f)(vars_["params"])
+
+        g_p = loss(plain)
+        g_r = loss(remat)
+        a = jax.tree_util.tree_leaves(jax.tree_util.tree_map(lambda p, q: np.abs(np.asarray(p) - np.asarray(q)).max(), g_p, g_r))
+        assert max(a) < 1e-5
