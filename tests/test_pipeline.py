@@ -199,3 +199,55 @@ class TestDevicePrefetch:
         dl = build_dataloader(coco_ds, sample_per_replica=2, canvas=(128, 128))
         batches = list(prefetch_to_device(dl, size=10))
         assert len(batches) == 2
+
+
+class TestMaskAndTestCollate:
+    def test_collate_with_masks(self, tmp_path_factory):
+        from torch_detection_tpu.data import CocoDataset, collate
+
+        root = str(tmp_path_factory.mktemp("coco_mask"))
+        ann_file, img_dir = make_coco(root)
+        ds = CocoDataset(
+            ann_file=ann_file, img_prefix=img_dir,
+            img_means=(0, 0, 0), img_stds=(1, 1, 1),
+            img_expected_sizes=(100, 60), size_divisor=32, with_mask=True,
+        )
+        batch = collate([ds[0], ds[1]], max_gts=4)
+        assert "gt_masks" in batch
+        b, g, h, w = batch["gt_masks"].shape
+        assert (b, g) == (2, 4)
+        assert (h, w) == batch["image"].shape[1:3]
+        # the first image's single valid mask is nonempty
+        assert batch["gt_masks"][0, 0].sum() > 0
+        assert batch["gt_masks"][0, 1].sum() == 0  # padding row
+
+    def test_collate_with_crowd(self, tmp_path_factory):
+        from torch_detection_tpu.data import CocoDataset, collate
+
+        root = str(tmp_path_factory.mktemp("coco_crowd"))
+        ann_file, img_dir = make_coco(root)
+        ds = CocoDataset(
+            ann_file=ann_file, img_prefix=img_dir,
+            img_means=(0, 0, 0), img_stds=(1, 1, 1),
+            img_expected_sizes=(100, 60), size_divisor=32, with_crowd=True,
+        )
+        batch = collate([ds[0]], max_gts=4)
+        assert "gt_boxes_ignore" in batch
+        assert batch["gt_ignore_valid"][0].sum() == 1  # the crowd ann
+
+    def test_collate_test_tta(self, tmp_path_factory):
+        from torch_detection_tpu.data import CocoDataset, collate_test
+
+        root = str(tmp_path_factory.mktemp("coco_tta"))
+        ann_file, img_dir = make_coco(root)
+        ds = CocoDataset(
+            ann_file=ann_file, img_prefix=img_dir,
+            img_means=(0, 0, 0), img_stds=(1, 1, 1),
+            img_expected_sizes=[(100, 60), (64, 48)], flip_ratio=1.0,
+            size_divisor=32, test_mode=True,
+        )
+        batch = collate_test([ds[0], ds[1]])
+        assert len(batch["imgs"]) == 4  # 2 scales x (plain, flip)
+        assert all(im.shape[0] == 2 for im in batch["imgs"])
+        assert len(batch["img_metas"][0]) == 2
+        assert batch["img_metas"][1][0]["flipped_flag"] is True
