@@ -170,3 +170,44 @@ def test_lr_schedule():
     assert float(sched(799)) == pytest.approx(0.01, rel=1e-3)
     assert float(sched(801)) == pytest.approx(0.001, rel=1e-3)
     assert float(sched(1101)) == pytest.approx(0.0001, rel=1e-3)
+
+
+class TestSegmMap:
+    def _mask(self, h, w, y0, y1, x0, x1):
+        m = np.zeros((h, w), np.uint8)
+        m[y0:y1, x0:x1] = 1
+        return m
+
+    def test_mask_iou(self):
+        from torch_detection_tpu.engine import mask_iou_matrix
+
+        a = self._mask(10, 10, 0, 5, 0, 10)  # top half
+        b = self._mask(10, 10, 0, 10, 0, 10)  # full
+        iou = mask_iou_matrix(np.stack([a]), np.stack([b, a]))
+        np.testing.assert_allclose(iou, [[0.5, 1.0]])
+
+    def test_perfect_segm(self):
+        from torch_detection_tpu.engine import eval_coco_segm_map
+
+        m = self._mask(20, 20, 2, 12, 2, 12)
+        dets = [dict(
+            boxes=np.zeros((1, 4)), scores=np.array([0.9]),
+            labels=np.array([1]), masks=np.stack([m]),
+        )]
+        anns = [dict(labels=np.array([1]), masks=[m], bboxes=np.zeros((1, 4)))]
+        res = eval_coco_segm_map(dets, anns, 1)
+        assert res["mAP"] == pytest.approx(1.0, abs=0.02)
+
+    def test_loose_mask_fails_high_thresholds(self):
+        from torch_detection_tpu.engine import eval_coco_segm_map
+
+        gt = self._mask(20, 20, 0, 10, 0, 10)
+        pred = self._mask(20, 20, 0, 10, 0, 6)  # IoU = 0.6
+        dets = [dict(
+            boxes=np.zeros((1, 4)), scores=np.array([0.9]),
+            labels=np.array([1]), masks=np.stack([pred]),
+        )]
+        anns = [dict(labels=np.array([1]), masks=[gt], bboxes=np.zeros((1, 4)))]
+        res = eval_coco_segm_map(dets, anns, 1)
+        assert res["mAP_50"] == pytest.approx(1.0, abs=0.02)
+        assert res["mAP"] < 0.5

@@ -19,3 +19,7 @@ __all__ = [
     "debox_to_original",
     "merge_tta_detections",
 ]
+
+from .eval import eval_coco_segm_map, mask_iou_matrix  # noqa: E402
+
+__all__ += ["eval_coco_segm_map", "mask_iou_matrix"]

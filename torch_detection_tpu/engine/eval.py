@@ -54,24 +54,28 @@ def _match_image(
     gt_ignore: np.ndarray,  # (G,) bool (crowd / outside area range)
     ignore_regions: np.ndarray,  # (R, 4) crowd boxes (match allowed, not scored)
     iou_thr: float,
+    iou: Optional[np.ndarray] = None,  # precomputed (D, G), e.g. mask IoU
+    iou_crowd: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Greedy matching. Returns (det_matched, det_ignored) bool arrays.
 
-    Dispatches to the C++ matcher (``native/eval_match.cpp``) when built;
-    this python version is the semantic oracle and the fallback.
+    Dispatches to the C++ matcher (``native/eval_match.cpp``) when built
+    (box path only); this python version is the semantic oracle, the
+    fallback, and the path for precomputed (mask) IoU matrices.
     """
-    from .. import native
+    if iou is None:
+        from .. import native
 
-    res = native.match_image(det_boxes, gt_boxes, gt_ignore, ignore_regions, iou_thr)
-    if res is not None:
-        return res
+        res = native.match_image(det_boxes, gt_boxes, gt_ignore, ignore_regions, iou_thr)
+        if res is not None:
+            return res
+        iou = _iou_matrix(det_boxes, gt_boxes)
+        iou_crowd = _iou_matrix(det_boxes, ignore_regions) if len(ignore_regions) else None
     d = len(det_boxes)
     g = len(gt_boxes)
     matched = np.zeros(d, bool)
     det_ignored = np.zeros(d, bool)
     gt_taken = np.zeros(g, bool)
-    iou = _iou_matrix(det_boxes, gt_boxes)
-    iou_crowd = _iou_matrix(det_boxes, ignore_regions) if len(ignore_regions) else None
 
     for i in range(d):
         best_j = -1
@@ -188,6 +192,72 @@ def eval_coco_map(
     ap75 = float(np.nanmean(aps[idx75])) if idx75 < len(iou_thrs) and valid[idx75].any() else 0.0
     per_class = {c + 1: float(np.nanmean(aps[:, c])) for c in range(num_classes) if valid[:, c].any()}
     return {"mAP": mean_ap, "mAP_50": ap50, "mAP_75": ap75, "per_class": per_class}
+
+
+def mask_iou_matrix(det_masks: np.ndarray, gt_masks: np.ndarray) -> np.ndarray:
+    """IoU between (D, H, W) and (G, H, W) binary masks -> (D, G)."""
+    if len(det_masks) == 0 or len(gt_masks) == 0:
+        return np.zeros((len(det_masks), len(gt_masks)))
+    d = np.asarray(det_masks, bool).reshape(len(det_masks), -1)
+    g = np.asarray(gt_masks, bool).reshape(len(gt_masks), -1)
+    inter = d.astype(np.float64) @ g.astype(np.float64).T
+    area_d = d.sum(axis=1)[:, None]
+    area_g = g.sum(axis=1)[None, :]
+    return inter / np.maximum(area_d + area_g - inter, 1e-9)
+
+
+def eval_coco_segm_map(
+    detections: List[Dict[str, np.ndarray]],
+    annotations: List[Dict[str, np.ndarray]],
+    num_classes: int,
+    iou_thrs: Optional[Sequence[float]] = None,
+    max_dets: int = 100,
+) -> Dict[str, float]:
+    """COCO-style segmentation mAP (matching by mask IoU).
+
+    detections[i] additionally carries ``masks`` (D, H, W) bool;
+    annotations[i] carries ``masks`` (list of (H, W) uint8, aligned with
+    ``labels``).  Same protocol as ``eval_coco_map`` otherwise.
+    """
+    if iou_thrs is None:
+        iou_thrs = np.arange(0.5, 1.0, 0.05)
+
+    aps = np.full((len(iou_thrs), num_classes), np.nan)
+    for c in range(1, num_classes + 1):
+        per_img = []
+        n_pos = 0
+        for det, ann in zip(detections, annotations):
+            keep = det["labels"] == c
+            scores = det["scores"][keep]
+            masks = np.asarray(det["masks"])[keep]
+            order = np.argsort(-scores, kind="mergesort")[:max_dets]
+            scores, masks = scores[order], masks[order]
+
+            gt_keep = np.asarray(ann["labels"]) == c
+            gt_masks = [m for m, k in zip(ann["masks"], gt_keep) if k]
+            gt_masks = np.asarray(gt_masks) if gt_masks else np.zeros((0, 1, 1))
+            n_pos += len(gt_masks)
+            miou = mask_iou_matrix(masks, gt_masks) if len(masks) and len(gt_masks) else np.zeros((len(masks), len(gt_masks)))
+            per_img.append((scores, miou, len(gt_masks)))
+
+        for t, thr in enumerate(iou_thrs):
+            all_scores, all_matched = [], []
+            for scores, miou, g in per_img:
+                matched, det_ignored = _match_image(
+                    np.zeros((len(scores), 4)), np.zeros((g, 4)),
+                    np.zeros(g, bool), np.zeros((0, 4)), thr, iou=miou,
+                )
+                keep = ~det_ignored
+                all_scores.append(scores[keep])
+                all_matched.append(matched[keep])
+            scores_cat = np.concatenate(all_scores) if all_scores else np.zeros(0)
+            matched_cat = np.concatenate(all_matched) if all_matched else np.zeros(0, bool)
+            aps[t, c - 1] = _average_precision_101(matched_cat, scores_cat, n_pos)
+
+    valid = ~np.isnan(aps)
+    mean_ap = float(np.nanmean(aps)) if valid.any() else 0.0
+    ap50 = float(np.nanmean(aps[0])) if valid[0].any() else 0.0
+    return {"mAP": mean_ap, "mAP_50": ap50}
 
 
 def eval_voc_map(
