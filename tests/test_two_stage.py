@@ -175,3 +175,47 @@ class TestFasterRCNN:
 
         dets = run(variables, jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32))
         assert dets.boxes.shape == (1, 8, 4)
+
+
+class TestFusedRoIAlign:
+    def test_fused_matches_gather(self, rng):
+        import jax.numpy as jnp
+        from torch_detection_tpu.ops.roi_align import (
+            multilevel_roi_align,
+            multilevel_roi_align_fused,
+        )
+
+        feats = [
+            jnp.asarray(rng.normal(size=(64 // 2**i, 96 // 2**i, 8)), jnp.float32)
+            for i in range(4)
+        ]
+        # moderate-aspect rois across sizes (the fused kernel is exact for
+        # rois spanning <= crop-1 cells at their routed level — i.e. aspect
+        # ratios <= ~3, which FPN routing guarantees in practice)
+        xy = rng.uniform(0, 150, (40, 2)).astype(np.float32)
+        w = rng.uniform(10, 160, (40,)).astype(np.float32)
+        aspect = rng.uniform(0.5, 2.0, (40,)).astype(np.float32)
+        wh = np.stack([w, w * aspect], axis=1)
+        rois = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+        strides = (4, 8, 16, 32)
+        want = multilevel_roi_align(feats, rois, strides, out_size=7)
+        got = multilevel_roi_align_fused(feats, rois, strides, out_size=7)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
+
+    def test_fused_chunked_path(self, rng):
+        import jax.numpy as jnp
+        from torch_detection_tpu.ops.roi_align import (
+            multilevel_roi_align,
+            multilevel_roi_align_fused,
+        )
+
+        feats = [
+            jnp.asarray(rng.normal(size=(32 // 2**i, 32 // 2**i, 4)), jnp.float32)
+            for i in range(2)
+        ]
+        xy = rng.uniform(0, 60, (512, 2)).astype(np.float32)
+        wh = rng.uniform(5, 50, (512, 2)).astype(np.float32)
+        rois = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+        want = multilevel_roi_align(feats, rois, (4, 8), out_size=4)
+        got = multilevel_roi_align_fused(feats, rois, (4, 8), out_size=4, roi_chunk=256)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)

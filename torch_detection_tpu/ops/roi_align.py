@@ -127,6 +127,124 @@ def multilevel_roi_align(
     return out
 
 
+def multilevel_roi_align_fused(
+    feats: Sequence[jax.Array],  # per level (H_l, W_l, C), one image
+    rois: jax.Array,  # (R, 4) image coords
+    strides: Sequence[int],
+    out_size: int = 7,
+    sampling_ratio: int = 2,
+    finest_scale: float = 56.0,
+    crop: int = 40,
+    roi_chunk: int = 256,
+) -> jax.Array:
+    """Fast RoIAlign: per-roi window crop + interpolation matmuls.
+
+    The gather formulation (``multilevel_roi_align``) issues per-sample
+    gathers — irregular memory traffic the TPU hates (~200 ms for 4x1000
+    rois).  This version exploits the FPN routing invariant (a roi spans at
+    most ~crop cells at its routed level) to:
+
+      1. stack all levels into one flattened pyramid (rows concatenated,
+         width padded) so every roi crops from ONE array;
+      2. ``dynamic_slice`` a (crop, crop, C) window per roi — batched
+         dynamic-slices lower to regular block gathers;
+      3. interpolate with two small dense matmuls (MXU) instead of gathers:
+         samples = Wy @ window @ Wx^T, then 2x2 average-pool.
+
+    Exact vs the gather version for rois spanning <= crop-1 cells at their
+    level (everything FPN routing produces except extreme >4:1 aspect
+    giants, whose edge samples clamp to the window).
+    """
+    num_levels = len(feats)
+    dtype = feats[0].dtype
+    c = feats[0].shape[-1]
+    s = out_size * sampling_ratio
+
+    # flattened pyramid: pad widths to the max, heights to >= crop, concat rows
+    w_max = max(max(f.shape[1] for f in feats), crop)
+    padded = []
+    row_offsets = []
+    heights = []
+    widths = []
+    off = 0
+    for f in feats:
+        h_l, w_l = f.shape[:2]
+        h_pad = max(h_l, crop)
+        padded.append(jnp.pad(f, ((0, h_pad - h_l), (0, w_max - w_l), (0, 0))))
+        row_offsets.append(off)
+        heights.append(h_l)
+        widths.append(w_l)
+        off += h_pad
+    flat = jnp.concatenate(padded, axis=0)  # (H_tot, w_max, C)
+
+    levels = map_rois_to_levels(rois, num_levels, finest_scale)  # (R,)
+    stride_arr = jnp.asarray(strides, jnp.float32)[levels]  # (R,)
+    h_arr = jnp.asarray(heights, jnp.float32)[levels]
+    w_arr = jnp.asarray(widths, jnp.float32)[levels]
+    off_arr = jnp.asarray(row_offsets, jnp.float32)[levels]
+
+    # sample coordinates in level cells (same math as roi_align)
+    inv = 1.0 / stride_arr
+    x1 = rois[:, 0] * inv
+    y1 = rois[:, 1] * inv
+    rw = jnp.maximum(rois[:, 2] * inv - x1, 1.0)
+    rh = jnp.maximum(rois[:, 3] * inv - y1, 1.0)
+    grid = (jnp.arange(s, dtype=jnp.float32) + 0.5) / sampling_ratio
+    ys = y1[:, None] + (rh / out_size)[:, None] * grid[None, :]  # (R, S)
+    xs = x1[:, None] + (rw / out_size)[:, None] * grid[None, :]
+
+    def axis_weights(coords, dim_size, origin):
+        """Bilinear weights over the crop window -> (R, S, crop)."""
+        c0 = jnp.floor(coords)
+        t = coords - c0
+        c0i = jnp.clip(c0.astype(jnp.int32), 0, (dim_size - 1)[:, None].astype(jnp.int32))
+        c1i = jnp.clip(c0i + 1, 0, (dim_size - 1)[:, None].astype(jnp.int32))
+        l0 = jnp.clip(c0i - origin[:, None].astype(jnp.int32), 0, crop - 1)
+        l1 = jnp.clip(c1i - origin[:, None].astype(jnp.int32), 0, crop - 1)
+        w0 = jax.nn.one_hot(l0, crop, dtype=jnp.float32) * (1.0 - t)[..., None]
+        w1 = jax.nn.one_hot(l1, crop, dtype=jnp.float32) * t[..., None]
+        return w0 + w1
+
+    origin_y = jnp.clip(jnp.floor(ys[:, 0]), 0.0, jnp.maximum(h_arr - crop, 0.0))
+    origin_x = jnp.clip(jnp.floor(xs[:, 0]), 0.0, jnp.maximum(w_arr - crop, 0.0))
+    wy = axis_weights(ys, h_arr, origin_y)  # (R, S, crop)
+    wx = axis_weights(xs, w_arr, origin_x)
+
+    row_start = (off_arr + origin_y).astype(jnp.int32)  # (R,)
+    col_start = origin_x.astype(jnp.int32)
+
+    def chunk_fn(args):
+        wy_c, wx_c, rs_c, cs_c = args
+
+        def one(wy_r, wx_r, r0, c0):
+            window = jax.lax.dynamic_slice(flat, (r0, c0, 0), (crop, crop, c))
+            tmp = jnp.einsum(
+                "sh,hwc->swc", wy_r, window.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            return jnp.einsum(
+                "swc,tw->stc", tmp, wx_r, preferred_element_type=jnp.float32
+            )
+
+        return jax.vmap(one)(wy_c, wx_c, rs_c, cs_c)
+
+    r = rois.shape[0]
+    if r % roi_chunk == 0 and r > roi_chunk:
+        n_chunks = r // roi_chunk
+        reshaped = (
+            wy.reshape(n_chunks, roi_chunk, s, crop),
+            wx.reshape(n_chunks, roi_chunk, s, crop),
+            row_start.reshape(n_chunks, roi_chunk),
+            col_start.reshape(n_chunks, roi_chunk),
+        )
+        samples = jax.lax.map(chunk_fn, reshaped).reshape(r, s, s, c)
+    else:
+        samples = chunk_fn((wy, wx, row_start, col_start))
+
+    samples = samples.reshape(r, out_size, sampling_ratio, out_size, sampling_ratio, c)
+    return samples.mean(axis=(2, 4)).astype(dtype)
+
+
 def batched_multilevel_roi_align(
     feats: Sequence[jax.Array],  # per level (B, H_l, W_l, C)
     rois: jax.Array,  # (B, R, 4)
@@ -134,11 +252,17 @@ def batched_multilevel_roi_align(
     out_size: int = 7,
     sampling_ratio: int = 2,
     finest_scale: float = 56.0,
+    impl: str = "fused",
 ) -> jax.Array:
-    """(B, R, out, out, C) aligned features."""
+    """(B, R, out, out, C) aligned features.
+
+    ``impl='fused'`` (default) uses the crop+matmul kernel; ``'gather'`` is
+    the per-sample gather oracle.
+    """
+    fn = multilevel_roi_align_fused if impl == "fused" else multilevel_roi_align
 
     def one_image(i):
-        return multilevel_roi_align(
+        return fn(
             [f[i] for f in feats], rois[i], strides, out_size, sampling_ratio, finest_scale
         )
 
