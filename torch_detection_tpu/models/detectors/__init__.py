@@ -10,6 +10,13 @@ from .two_stage import (
     faster_rcnn_inference,
     faster_rcnn_loss,
 )
+from .mask_rcnn import (
+    MaskDetections,
+    MaskRCNN,
+    MaskRCNNConfig,
+    mask_rcnn_inference,
+    mask_rcnn_loss,
+)
 
 __all__ = [
     "RetinaNetConfig",
@@ -17,6 +24,11 @@ __all__ = [
     "decode_detections",
     "retina_loss",
     "FasterRCNNConfig",
+    "MaskDetections",
+    "MaskRCNN",
+    "MaskRCNNConfig",
+    "mask_rcnn_inference",
+    "mask_rcnn_loss",
     "TwoStageDetector",
     "faster_rcnn_inference",
     "faster_rcnn_loss",

@@ -1,0 +1,168 @@
+"""Mask R-CNN: Faster R-CNN + FCN mask branch.
+
+Assembles the pieces built across the framework (TwoStageDetector two-stage
+box path, ``models/heads/mask_head.py`` mask head + on-device RoIAlign mask
+targets) into the full instance-segmentation detector the reference's mask
+plumbing (``datasets/utils/mask.py``, ``dataset_transforms.py:69-98``)
+pointed toward but never reached.
+
+Everything stays fixed-shape: mask targets are cropped on-device from the
+padded (B, max_gts, H, W) gt-mask tensor at the sampled positive rois; at
+inference the mask branch runs on the (B, max_detections) padded detection
+slate and pasting happens per image with static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.roi_align import batched_multilevel_roi_align
+from ...utils.registry import DETECTORS, HEADS
+from ..heads.mask_head import mask_loss, mask_targets_for_rois
+from .two_stage import (
+    FasterRCNNConfig,
+    TwoStageDetector,
+    _sample_fixed,
+    faster_rcnn_inference,
+    faster_rcnn_loss,
+)
+
+
+@DETECTORS.register_module
+class MaskRCNN(TwoStageDetector):
+    """TwoStageDetector + mask head (config key ``mask_head``)."""
+
+    mask_head: Optional[Dict[str, Any]] = None
+
+    def setup(self):
+        super().setup()
+        assert self.mask_head is not None, "MaskRCNN requires a mask_head cfg"
+        self.mask_mod = HEADS.build(dict(self.mask_head), name="mask_head")
+
+    def mask_forward(self, roi_feats: jax.Array, train: bool = False) -> jax.Array:
+        return self.mask_mod(roi_feats, train=train)
+
+
+@dataclasses.dataclass(frozen=True)
+class MaskRCNNConfig(FasterRCNNConfig):
+    mask_size: int = 28  # head outputs 2x the roi feature size (14 -> 28)
+    mask_roi_size: int = 14
+    mask_loss_weight: float = 1.0
+
+
+def mask_rcnn_loss(
+    cfg: MaskRCNNConfig,
+    model: MaskRCNN,
+    variables: Dict,
+    batch: Dict[str, jax.Array],
+    rng: jax.Array,
+    train: bool = True,
+) -> Dict[str, jax.Array]:
+    """Box losses (shared with Faster R-CNN) + the mask branch loss.
+
+    Requires ``batch['gt_masks']`` (B, G, H, W) uint8 from the collate mask
+    path.  The mask branch samples its own positive rois (reusing the rcnn
+    assigner on proposals+gt) so the box and mask batches stay fixed-shape.
+    """
+    losses = faster_rcnn_loss(cfg, model, variables, batch, rng, train=train)
+
+    images = batch["image"]
+    gt_boxes = batch["gt_boxes"]
+    gt_labels = batch["gt_labels"]
+    gt_valid = batch["gt_valid"]
+    gt_masks = batch["gt_masks"]
+    b = images.shape[0]
+
+    # recompute features + proposals (XLA CSEs the duplicate forward inside
+    # one jit; keeping this function self-contained beats threading
+    # intermediates through the box loss API)
+    feats, rpn_scores, rpn_deltas = model.apply(variables, images, train=train)
+    from ..heads.rpn_head import generate_proposals
+
+    proposals = generate_proposals(
+        cfg.proposal_train,
+        cfg.anchor_generator,
+        [jax.lax.stop_gradient(s) for s in rpn_scores],
+        [jax.lax.stop_gradient(d) for d in rpn_deltas],
+        img_shapes=batch.get("img_shape"),
+    )
+    rngs = jax.random.split(rng, b)
+
+    def sample_pos_rois(i):
+        cand = jnp.concatenate([proposals.boxes[i], gt_boxes[i]], axis=0)
+        cand_valid = jnp.concatenate([proposals.valid[i], gt_valid[i]], axis=0)
+        assign = cfg.rcnn_assigner(
+            cand, gt_boxes[i], gt_valid[i], gt_labels[i], anchor_valid=cand_valid
+        )
+        pos = assign.assigned_gt_inds > 0
+        neg = assign.assigned_gt_inds == 0
+        num = cfg.rcnn_num_samples // 2  # mask branch: positives only
+        idx, is_pos, _ = _sample_fixed(rngs[i], pos, neg, num, pos_fraction=1.0)
+        rois = cand[idx]
+        labels = jnp.where(is_pos, assign.labels[idx], 0)
+        matched = jnp.clip(assign.assigned_gt_inds[idx] - 1, 0, gt_boxes.shape[1] - 1)
+        targets = mask_targets_for_rois(gt_masks[i], rois, matched, cfg.mask_size)
+        return rois, labels, targets, is_pos
+
+    rois, roi_labels, targets, roi_pos = jax.vmap(sample_pos_rois)(jnp.arange(b))
+
+    roi_feats = batched_multilevel_roi_align(
+        [f.astype(jnp.float32) for f in feats[: len(cfg.roi_strides)]],
+        rois, cfg.roi_strides, cfg.mask_roi_size, finest_scale=cfg.finest_scale,
+    )
+    mask_logits = model.apply(
+        variables, roi_feats, train=train, method=MaskRCNN.mask_forward
+    )
+    loss_mask = mask_loss(mask_logits, targets, roi_labels, roi_pos) * cfg.mask_loss_weight
+    losses = dict(losses)
+    losses["loss_mask"] = loss_mask
+    losses["loss"] = losses["loss"] + loss_mask
+    return losses
+
+
+class MaskDetections(NamedTuple):
+    boxes: jnp.ndarray  # (B, D, 4)
+    scores: jnp.ndarray  # (B, D)
+    labels: jnp.ndarray  # (B, D)
+    valid: jnp.ndarray  # (B, D)
+    mask_probs: jnp.ndarray  # (B, D, M, M) sigmoid probs for the det class
+
+
+def mask_rcnn_inference(
+    cfg: MaskRCNNConfig,
+    model: MaskRCNN,
+    variables: Dict,
+    images: jax.Array,
+    img_shapes: Optional[jax.Array] = None,
+    scale_factors: Optional[jax.Array] = None,
+) -> MaskDetections:
+    """Box inference + mask branch on the final detections.
+
+    Returns per-detection (M, M) mask probabilities; use
+    ``models.heads.paste_masks`` to raster them onto the image.
+    """
+    dets = faster_rcnn_inference(cfg, model, variables, images, img_shapes, scale_factors)
+    # mask rois are in the network frame; detections were rescaled to the
+    # original frame when scale_factors was given — undo for feature lookup
+    roi_boxes = dets.boxes
+    if scale_factors is not None:
+        roi_boxes = roi_boxes * scale_factors[:, None, None]
+
+    feats, _, _ = model.apply(variables, images)
+    roi_feats = batched_multilevel_roi_align(
+        [f.astype(jnp.float32) for f in feats[: len(cfg.roi_strides)]],
+        roi_boxes, cfg.roi_strides, cfg.mask_roi_size, finest_scale=cfg.finest_scale,
+    )
+    mask_logits = model.apply(variables, roi_feats, method=MaskRCNN.mask_forward)
+    num_classes = mask_logits.shape[-1]
+    safe_cls = jnp.clip(dets.labels, 0, num_classes - 1)
+    logits = jnp.take_along_axis(
+        mask_logits, safe_cls[..., None, None, None], axis=-1
+    )[..., 0]
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+    probs = probs * dets.valid[..., None, None]
+    return MaskDetections(dets.boxes, dets.scores, dets.labels, dets.valid, probs)
