@@ -144,3 +144,18 @@ def test_retina_config_builds():
     cfg2 = Config.fromfile(osp.join(REPO, "configs", "retinanet_r101_fpn_voc.py"))
     assert cfg2.model.backbone.depth == 101
     assert build_detection_cfg(cfg2["detection"]).num_classes == 20
+
+
+def test_mask_rcnn_config_builds():
+    from torch_detection_tpu.builder import build_detection_cfg, build_detector, build_loss_fn
+    from torch_detection_tpu.models.detectors import MaskRCNN, MaskRCNNConfig
+    from torch_detection_tpu.utils import Config
+
+    cfg = Config.fromfile(osp.join(REPO, "configs", "mask_rcnn_r50_fpn_coco.py"))
+    model = build_detector(cfg["model"], "bfloat16")
+    assert isinstance(model, MaskRCNN)
+    det_cfg = build_detection_cfg(cfg["detection"])
+    assert isinstance(det_cfg, MaskRCNNConfig)
+    assert det_cfg.mask_size == 28
+    assert cfg.data.train.with_mask is True
+    assert callable(build_loss_fn(model, det_cfg))

@@ -49,19 +49,23 @@ def build_detection_cfg(det_cfg: Dict[str, Any]):
     anchor = dict(cfg.pop("anchor", {}))
     assigner = dict(cfg.pop("assigner", {}))
 
-    if style == "faster_rcnn":
-        from .models.detectors import FasterRCNNConfig
+    if style in ("faster_rcnn", "mask_rcnn"):
+        from .models.detectors import FasterRCNNConfig, MaskRCNNConfig
 
+        cls = MaskRCNNConfig if style == "mask_rcnn" else FasterRCNNConfig
         kwargs: Dict[str, Any] = {}
         if anchor:
             kwargs["anchor_generator"] = _build_anchor_generator(anchor)
-        for key in ("num_classes", "score_thr", "nms_iou_thr", "max_detections",
-                    "roi_size", "finest_scale", "rpn_num_samples",
-                    "rcnn_num_samples", "rcnn_pos_fraction", "smooth_l1_beta"):
+        keys = ["num_classes", "score_thr", "nms_iou_thr", "max_detections",
+                "roi_size", "finest_scale", "rpn_num_samples",
+                "rcnn_num_samples", "rcnn_pos_fraction", "smooth_l1_beta"]
+        if style == "mask_rcnn":
+            keys += ["mask_size", "mask_roi_size", "mask_loss_weight"]
+        for key in keys:
             if key in cfg:
                 v = cfg[key]
                 kwargs[key] = tuple(v) if isinstance(v, list) else v
-        return FasterRCNNConfig(**kwargs)
+        return cls(**kwargs)
 
     kwargs = {}
     if anchor:
@@ -86,10 +90,22 @@ def build_loss_fn(model, det_cfg, rng_seed: int = 0):
 
     from .models.detectors import (
         FasterRCNNConfig,
+        MaskRCNNConfig,
         TwoStageDetector,
         faster_rcnn_loss,
+        mask_rcnn_loss,
         retina_loss,
     )
+
+    if isinstance(det_cfg, MaskRCNNConfig):
+        def loss_fn(params, batch_stats, batch):
+            variables = {"params": params, "batch_stats": batch_stats}
+            rng = jax.random.PRNGKey(rng_seed)
+            losses = mask_rcnn_loss(det_cfg, model, variables, batch, rng)
+            aux = {k: v for k, v in losses.items() if k != "loss"}
+            return losses["loss"], aux
+
+        return loss_fn
 
     if isinstance(det_cfg, FasterRCNNConfig):
         def loss_fn(params, batch_stats, batch):
