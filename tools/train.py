@@ -53,15 +53,26 @@ def main() -> None:
     x = jnp.zeros((batch, canvas[0], canvas[1], 3), jnp.float32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(args.seed), x)
     if isinstance(model, TwoStageDetector):
-        # the roi head is a separate method; init its params and merge
+        # roi (and mask) heads are separate methods; init their params and merge
+        from torch_detection_tpu.models.detectors import MaskRCNN
+
         feat_ch = cfg["model"]["neck"]["out_channels"]
         roi_size = getattr(det_cfg, "roi_size", 7)
         roi_feats = jnp.zeros((1, 8, roi_size, roi_size, feat_ch), jnp.float32)
         vars2 = model.init(
             jax.random.PRNGKey(args.seed + 1), roi_feats, method=TwoStageDetector.roi_forward
         )
+        extra_params = dict(vars2["params"])
+        if isinstance(model, MaskRCNN):
+            mask_roi = getattr(det_cfg, "mask_roi_size", 14)
+            vars3 = model.init(
+                jax.random.PRNGKey(args.seed + 2),
+                jnp.zeros((1, 8, mask_roi, mask_roi, feat_ch), jnp.float32),
+                method=MaskRCNN.mask_forward,
+            )
+            extra_params.update(vars3["params"])
         variables = {
-            "params": {**variables["params"], **vars2["params"]},
+            "params": {**variables["params"], **extra_params},
             "batch_stats": variables.get("batch_stats", {}),
         }
 
