@@ -211,3 +211,13 @@ class TestSegmMap:
         res = eval_coco_segm_map(dets, anns, 1)
         assert res["mAP_50"] == pytest.approx(1.0, abs=0.02)
         assert res["mAP"] < 0.5
+
+
+def test_latest_checkpoint(tmp_path):
+    from torch_detection_tpu.engine import latest_checkpoint
+
+    assert latest_checkpoint(str(tmp_path / "nope")) is None
+    for e in (1, 3, 2):
+        (tmp_path / f"epoch_{e}").mkdir()
+    (tmp_path / "epoch_bad").mkdir()
+    assert latest_checkpoint(str(tmp_path)).endswith("epoch_3")

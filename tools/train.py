@@ -21,6 +21,8 @@ def main() -> None:
     parser.add_argument("--epochs", type=int, default=None)
     parser.add_argument("--work-dir", default=None)
     parser.add_argument("--resume", default=None, help="checkpoint dir to resume from")
+    parser.add_argument("--auto-resume", action="store_true",
+                        help="resume from the latest epoch_N in work_dir if present")
     parser.add_argument("--pretrained", default=None, help="e.g. torch://resnet50.pth")
     parser.add_argument("--profile-dir", default=None)
     parser.add_argument("--seed", type=int, default=0)
@@ -91,6 +93,12 @@ def main() -> None:
         profile_dir=args.profile_dir,
     )
     start_epoch = 0
+    if args.auto_resume and not args.resume:
+        from torch_detection_tpu.engine import latest_checkpoint
+
+        args.resume = latest_checkpoint(work_dir)
+        if args.resume:
+            logging.info("auto-resume found %s", args.resume)
     if args.resume:
         payload = load_checkpoint_file(args.resume)
         start_epoch = int(payload.get("meta", {}).get("epoch", 0))

@@ -1,10 +1,11 @@
-from .checkpoint import load_checkpoint, load_checkpoint_file, save_checkpoint
+from .checkpoint import latest_checkpoint, load_checkpoint, load_checkpoint_file, save_checkpoint
 from .eval import detections_from_nms, eval_coco_map, eval_voc_map
 from .profiling import ThroughputMeter, annotate, trace
 from .trainer import Trainer, detection_lr_schedule
 from .tta import debox_to_original, merge_tta_detections
 
 __all__ = [
+    "latest_checkpoint",
     "load_checkpoint",
     "load_checkpoint_file",
     "save_checkpoint",

@@ -46,6 +46,26 @@ def save_checkpoint(
     _checkpointer().save(path, payload, force=True)
 
 
+def latest_checkpoint(work_dir: str) -> Optional[str]:
+    """Most recent ``epoch_N`` checkpoint dir in ``work_dir``, or None —
+    elastic-restart affordance: a relaunched job resumes where it died."""
+    work_dir = os.path.abspath(os.path.expanduser(work_dir))
+    if not os.path.isdir(work_dir):
+        return None
+    best = None
+    best_epoch = -1
+    for name in os.listdir(work_dir):
+        if name.startswith("epoch_"):
+            try:
+                e = int(name.split("_", 1)[1])
+            except ValueError:
+                continue
+            if e > best_epoch and os.path.isdir(os.path.join(work_dir, name)):
+                best_epoch = e
+                best = os.path.join(work_dir, name)
+    return best
+
+
 def load_checkpoint_file(path: str) -> Dict[str, Any]:
     path = os.path.abspath(os.path.expanduser(path))
     return _checkpointer().restore(path)

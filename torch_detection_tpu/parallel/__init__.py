@@ -1,3 +1,4 @@
+from .distributed import init_distributed
 from .mesh import (
     batch_sharding,
     make_mesh,
@@ -10,6 +11,7 @@ from .mesh import (
 from .train_step import TrainState, create_train_state, make_optimizer, make_train_step
 
 __all__ = [
+    "init_distributed",
     "batch_sharding",
     "make_mesh",
     "param_sharding_rules",
