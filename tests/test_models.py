@@ -226,3 +226,30 @@ class TestTorchImport:
             got = np.asarray(j)
             err = np.linalg.norm(got - want) / (np.linalg.norm(want) + 1e-9)
             assert err < 5e-3, f"normalized error {err}"
+
+
+class TestVGGImport:
+    def test_vgg16_parity(self, rng):
+        import torch
+
+        import torch_refs
+        from torch_detection_tpu.models.backbones import VGG
+        from torch_detection_tpu.models.torch_import import vgg_key_rules
+
+        tm = torch_refs.TorchVGG(16).eval()
+        x = rng.normal(size=(1, 3, 64, 64)).astype(np.float32) * 0.1
+        with torch.no_grad():
+            t_outs = tm(torch.from_numpy(x))
+
+        m = VGG(depth=16)
+        jx = jnp.asarray(x.transpose(0, 2, 3, 1))
+        vars_ = jax.jit(m.init)(jax.random.PRNGKey(0), jx)
+        vars_ = load_torch_weights(vars_, tm.state_dict(), key_rules=vgg_key_rules(16), strict=True)
+        j_outs = m.apply(jax.tree_util.tree_map(jnp.asarray, vars_), jx)
+
+        assert len(t_outs) == len(j_outs)
+        for t, j in zip(t_outs, j_outs):
+            want = t.numpy().transpose(0, 2, 3, 1)
+            got = np.asarray(j)
+            err = np.linalg.norm(got - want) / (np.linalg.norm(want) + 1e-9)
+            assert err < 5e-3, err

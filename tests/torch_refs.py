@@ -122,3 +122,29 @@ def randomize_bn_stats(model, seed=0):
             m.weight.data.copy_(torch.rand(m.weight.shape, generator=g) + 0.5)
             m.bias.data.copy_(torch.randn(m.bias.shape, generator=g) * 0.1)
     return model
+
+
+class TorchVGG(nn.Module):
+    """torchvision-style VGG (features Sequential naming), no norm."""
+
+    ARCH = {11: (1, 1, 2, 2, 2), 13: (2, 2, 2, 2, 2), 16: (2, 2, 3, 3, 3), 19: (2, 2, 4, 4, 4)}
+
+    def __init__(self, depth=16):
+        super().__init__()
+        layers = []
+        in_ch = 3
+        for i, blocks in enumerate(self.ARCH[depth]):
+            out_ch = min(64 * 2**i, 512)
+            for _ in range(blocks):
+                layers += [nn.Conv2d(in_ch, out_ch, 3, padding=1), nn.ReLU(inplace=True)]
+                in_ch = out_ch
+            layers.append(nn.MaxPool2d(2, 2))
+        self.features = nn.Sequential(*layers)
+
+    def forward(self, x):
+        outs = []
+        for m in self.features:
+            x = m(x)
+            if isinstance(m, nn.MaxPool2d):
+                outs.append(x)
+        return outs

@@ -42,6 +42,34 @@ RESNET_KEY_RULES: Sequence[Tuple[str, str]] = (
 )
 
 
+def vgg_key_rules(depth: int, with_norm: bool = False) -> Sequence[Tuple[str, Optional[str]]]:
+    """Key rules for torchvision VGG state_dicts (``features.{i}.*``).
+
+    torchvision's VGG flattens conv/relu/norm/pool into one Sequential; this
+    reconstructs the per-stage indices for the given depth and maps them to
+    our ``layer{s}_{j}`` naming (models/backbones/vgg.py).
+    """
+    arch = {
+        11: (1, 1, 2, 2, 2),
+        13: (2, 2, 2, 2, 2),
+        16: (2, 2, 3, 3, 3),
+        19: (2, 2, 4, 4, 4),
+    }[depth]
+    rules = []
+    idx = 0
+    for s, blocks in enumerate(arch):
+        for j in range(blocks):
+            rules.append((rf"^features\.{idx}\.(.*)$", rf"layer{s + 1}_{j}/conv.\1"))
+            idx += 1  # conv
+            if with_norm:
+                rules.append((rf"^features\.{idx}\.(.*)$", rf"layer{s + 1}_{j}/norm.\1"))
+                idx += 1  # norm
+            idx += 1  # relu
+        idx += 1  # maxpool
+    rules.append((r"^classifier\.", None))
+    return tuple(rules)
+
+
 def _to_numpy(t) -> np.ndarray:
     if isinstance(t, np.ndarray):
         return t
