@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 HW = (800, 1216)
-BATCH = 16
+BATCH = 32
 NUM_CLASSES = 80
 CACHE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_CPU.json")
 CACHE_KEY = f"torch_cpu_retina_r50_{HW[0]}x{HW[1]}"
