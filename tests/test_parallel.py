@@ -130,3 +130,12 @@ class TestTrainStep:
         new_state, _ = step(state, batch)
         assert not np.allclose(np.asarray(new_state.params["w"]), np.asarray(params["w"]))
         np.testing.assert_array_equal(np.asarray(new_state.params["b"]), np.asarray(params["b"]))
+
+
+def test_init_distributed_single_host():
+    from torch_detection_tpu.parallel import init_distributed
+
+    info = init_distributed()
+    assert info["process_index"] == 0
+    assert info["process_count"] == 1
+    assert len(info["local_devices"]) >= 1

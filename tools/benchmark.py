@@ -171,6 +171,41 @@ def main():
     dt = timed(cfg5, args.iters)
     results.append({"config": "5: e2e inference incl. preprocess+NMS", "images_per_sec": round(B / dt, 2)})
 
+    # ---- bonus: Faster R-CNN e2e (two-stage, fused RoIAlign)
+    from torch_detection_tpu.models.detectors import (
+        FasterRCNNConfig,
+        TwoStageDetector,
+        faster_rcnn_inference,
+    )
+
+    frcnn = TwoStageDetector(
+        backbone=dict(type="ResNet", depth=50, num_stages=4, out_indices=(0, 1, 2, 3), dtype=jnp.bfloat16),
+        neck=dict(type="FPN", in_channels=(256, 512, 1024, 2048), out_channels=256, num_outs=5, dtype=jnp.bfloat16),
+        rpn_head=dict(type="RPNHead", in_channels=256, feat_channels=256, num_base_anchors=3, dtype=jnp.bfloat16),
+        bbox_head=dict(type="BBoxHead", num_classes=80, fc_channels=1024, dtype=jnp.bfloat16),
+    )
+    fr_cfg = FasterRCNNConfig(num_classes=80)
+    fb = min(B, 4)
+    xf = jnp.zeros((fb, *HW, 3), jnp.bfloat16)
+    vars_f = jax.jit(frcnn.init)(jax.random.PRNGKey(0), xf)
+    vars_roi = frcnn.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8, 7, 7, 256), jnp.bfloat16),
+        method=TwoStageDetector.roi_forward,
+    )
+    vars_f = {
+        "params": {**vars_f["params"], **vars_roi["params"]},
+        "batch_stats": vars_f.get("batch_stats", {}),
+    }
+    xfb = jnp.asarray(rng.normal(size=(fb, *HW, 3)), jnp.bfloat16)
+
+    @jax.jit
+    def cfg6(acc):
+        d = faster_rcnn_inference(fr_cfg, frcnn, vars_f, xfb)
+        return acc + jnp.sum(d.scores)
+
+    dt = timed(cfg6, args.iters)
+    results.append({"config": "6: Faster R-CNN e2e inference", "images_per_sec": round(fb / dt, 2)})
+
     for r in results:
         print(json.dumps(r))
 
