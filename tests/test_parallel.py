@@ -120,6 +120,56 @@ class TestTrainStep:
         )
         assert int(new_state.step) == 1
 
+    def test_nonfinite_step_reverts_params_with_wd_momentum(self):
+        # with weight decay + momentum, zeroed grads on a skipped step still
+        # produce a non-zero optax update (wd*params + momentum*buf); the
+        # step must revert params AND opt_state together
+        params = make_vars()
+        tx = make_optimizer(learning_rate=0.1, momentum=0.9, weight_decay=1e-2)
+        state = create_train_state(params, tx)
+        step = make_train_step(simple_loss, tx, donate_state=False)
+        good = {"x": jnp.ones((4, 8)), "y": jnp.zeros((4, 4))}
+        state, m = step(state, good)  # builds momentum
+        assert float(m["skipped_nonfinite"]) == 0.0
+        bad = {"x": jnp.full((4, 8), jnp.nan), "y": jnp.ones((4, 4))}
+        new_state, metrics = step(state, bad)
+        assert float(metrics["skipped_nonfinite"]) == 1.0
+        jax.tree_util.tree_map(
+            lambda n, o: np.testing.assert_array_equal(np.asarray(n), np.asarray(o)),
+            new_state.params, state.params,
+        )
+        jax.tree_util.tree_map(
+            lambda n, o: np.testing.assert_array_equal(np.asarray(n), np.asarray(o)),
+            new_state.opt_state, state.opt_state,
+        )
+
+    def test_loss_fn_step_kwarg_threaded(self):
+        seen = []
+
+        def loss_with_step(params, batch_stats, batch, step=0):
+            loss, aux = simple_loss(params, batch_stats, batch)
+            return loss + 0.0 * step, {**aux, "step_echo": step}
+
+        tx = optax.sgd(0.1)
+        state = create_train_state(make_vars(), tx)
+        step_fn = make_train_step(loss_with_step, tx, donate_state=False)
+        batch = {"x": jnp.ones((4, 8)), "y": jnp.zeros((4, 4))}
+        for expect in (0, 1, 2):
+            state, metrics = step_fn(state, batch)
+            seen.append(int(metrics["step_echo"]))
+        assert seen == [0, 1, 2]
+
+    def test_build_loss_fn_rng_varies_with_step(self):
+        # the builder's two-stage loss_fn must accept a step kwarg so the
+        # RPN/RCNN sampling rng is folded per step (ADVICE.md round-1 medium)
+        import inspect
+
+        from torch_detection_tpu.builder import build_loss_fn
+        from torch_detection_tpu.models.detectors import FasterRCNNConfig
+
+        loss_fn = build_loss_fn(model=None, det_cfg=FasterRCNNConfig(num_classes=4))
+        assert "step" in inspect.signature(loss_fn).parameters
+
     def test_frozen_mask_optimizer(self):
         params = make_vars()
         mask = {"w": True, "b": False}

@@ -97,23 +97,25 @@ def build_loss_fn(model, det_cfg, rng_seed: int = 0):
         retina_loss,
     )
 
+    def _step_rng(step):
+        # fold the (traced) step counter into the seed so RPN/RCNN positive
+        # capping and negative sampling draw a fresh stream every step;
+        # a fixed PRNGKey here would freeze the sampling pattern for the run
+        return jax.random.fold_in(jax.random.PRNGKey(rng_seed), step)
+
     if isinstance(det_cfg, MaskRCNNConfig):
-        def loss_fn(params, batch_stats, batch):
+        def loss_fn(params, batch_stats, batch, step=0):
             variables = {"params": params, "batch_stats": batch_stats}
-            rng = jax.random.PRNGKey(rng_seed)
-            losses = mask_rcnn_loss(det_cfg, model, variables, batch, rng)
+            losses = mask_rcnn_loss(det_cfg, model, variables, batch, _step_rng(step))
             aux = {k: v for k, v in losses.items() if k != "loss"}
             return losses["loss"], aux
 
         return loss_fn
 
     if isinstance(det_cfg, FasterRCNNConfig):
-        def loss_fn(params, batch_stats, batch):
+        def loss_fn(params, batch_stats, batch, step=0):
             variables = {"params": params, "batch_stats": batch_stats}
-            # derive a step rng from the batch content-free counter in the
-            # batch dict if present (roi sampling jitter); fall back to fixed
-            rng = jax.random.PRNGKey(rng_seed)
-            losses = faster_rcnn_loss(det_cfg, model, variables, batch, rng)
+            losses = faster_rcnn_loss(det_cfg, model, variables, batch, _step_rng(step))
             aux = {k: v for k, v in losses.items() if k != "loss"}
             return losses["loss"], aux
 

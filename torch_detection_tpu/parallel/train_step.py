@@ -73,8 +73,16 @@ def make_train_step(
     host sync, so the guard is free.
     """
 
+    import inspect
+
+    loss_wants_step = "step" in inspect.signature(loss_fn).parameters
+
     def step_fn(state: TrainState, batch: Dict[str, jax.Array]):
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        if loss_wants_step:
+            bound = partial(loss_fn, step=state.step)
+        else:
+            bound = loss_fn
+        (loss, metrics), grads = jax.value_and_grad(bound, has_aux=True)(
             state.params, state.batch_stats, batch
         )
         if skip_nonfinite:
@@ -86,7 +94,12 @@ def make_train_step(
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         if skip_nonfinite:
-            # on a skipped step keep the old optimizer state too
+            # on a skipped step revert BOTH params and optimizer state: with
+            # zeroed grads the chain still emits wd*params + momentum*buf, so
+            # letting either through would desynchronize params from opt_state
+            new_params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old), new_params, state.params
+            )
             new_opt = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(ok, new, old) if isinstance(new, jax.Array) else new,
                 new_opt, state.opt_state,
