@@ -207,6 +207,45 @@ class TestNMS:
         v = np.asarray(res.valid)
         assert v.sum() == 2
 
+    def test_nms_backfills_beyond_max_out(self):
+        # candidates ranked below max_out must backfill slots freed by
+        # suppression (true NMS-then-topk, not topk-then-NMS)
+        boxes = jnp.array(
+            [
+                [0.0, 0.0, 10.0, 10.0],
+                [1.0, 1.0, 11.0, 11.0],  # suppressed by 0
+                [50.0, 50.0, 60.0, 60.0],  # rank 2 — beyond max_out=2 pool cut
+            ]
+        )
+        scores = jnp.array([0.9, 0.8, 0.7])
+        res = nms(boxes, scores, iou_thr=0.5, max_out=2)
+        v = np.asarray(res.valid)
+        assert v.sum() == 2
+        np.testing.assert_allclose(np.asarray(res.scores)[v], [0.9, 0.7])
+        np.testing.assert_array_equal(np.asarray(res.indices)[v], [0, 2])
+        # with pre_top_k=2 the old truncating behavior is recoverable
+        res_tr = nms(boxes, scores, iou_thr=0.5, max_out=2, pre_top_k=2)
+        assert np.asarray(res_tr.valid).sum() == 1
+
+    def test_nms_labels_are_class_ids_not_indices(self):
+        boxes = jnp.array([[0.0, 0.0, 10.0, 10.0], [50.0, 50.0, 60.0, 60.0]])
+        scores = jnp.array([0.5, 0.9])  # second box ranks first
+        res = nms(boxes, scores, iou_thr=0.5, max_out=4)
+        labels = np.asarray(res.labels)
+        np.testing.assert_array_equal(labels, [0, 0, -1, -1])
+        np.testing.assert_array_equal(np.asarray(res.indices), [1, 0, -1, -1])
+
+    def test_multiclass_indices_point_at_source_boxes(self):
+        boxes = jnp.array([[0.0, 0.0, 10.0, 10.0], [30.0, 30.0, 40.0, 40.0]])
+        scores = jnp.array([[0.01, 0.9], [0.8, 0.02]])
+        res = multiclass_nms(boxes, scores, iou_thr=0.5, score_thr=0.05, max_out=4)
+        v = np.asarray(res.valid)
+        got = {
+            (int(l), int(i))
+            for l, i in zip(np.asarray(res.labels)[v], np.asarray(res.indices)[v])
+        }
+        assert got == {(1, 0), (0, 1)}
+
     def test_against_reference_greedy(self, rng):
         # compare against a hand-rolled numpy greedy NMS on random boxes
         n = 60

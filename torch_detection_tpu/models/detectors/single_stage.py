@@ -219,6 +219,6 @@ def decode_detections(
         out_boxes = res.boxes
         if scale_factors is not None:
             out_boxes = out_boxes / scale_factors[i]
-        return NMSResult(out_boxes, res.scores, res.labels, res.valid)
+        return NMSResult(out_boxes, res.scores, res.labels, res.valid, res.indices)
 
     return jax.vmap(one_image)(jnp.arange(scores.shape[0]))

@@ -286,6 +286,6 @@ def faster_rcnn_inference(
         out_boxes = res.boxes
         if scale_factors is not None:
             out_boxes = out_boxes / scale_factors[i]
-        return NMSResult(out_boxes, res.scores, res.labels, res.valid)
+        return NMSResult(out_boxes, res.scores, res.labels, res.valid, res.indices)
 
     return jax.vmap(one_image)(jnp.arange(images.shape[0]))

@@ -61,6 +61,15 @@ class ProposalConfig:
     min_box_size: float = 0.0
     target_means: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
     target_stds: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0)
+    # candidate pool fed to the cross-level NMS; slots freed by suppression
+    # backfill from here, so > post_nms_top_k recovers proposal recall.
+    # None = 2 * post_nms_top_k (bounds the (K,K) IoU matrix; the full
+    # 5-level pool would be ~10k candidates -> 400 MB of IoU per image).
+    nms_pool_k: Optional[int] = None
+
+    @property
+    def pool_k(self) -> int:
+        return self.nms_pool_k if self.nms_pool_k is not None else 2 * self.post_nms_top_k
 
 
 def generate_proposals(
@@ -104,7 +113,10 @@ def generate_proposals(
                 (bx[:, 3] - bx[:, 1]) >= cfg.min_box_size
             )
             sc = jnp.where(ok, sc, 0.0)
-        res = nms(bx, sc, iou_thr=cfg.nms_iou_thr, max_out=cfg.post_nms_top_k)
+        res = nms(
+            bx, sc, iou_thr=cfg.nms_iou_thr, max_out=cfg.post_nms_top_k,
+            pre_top_k=cfg.pool_k,
+        )
         return res.boxes, res.scores, res.valid
 
     pb, ps, pv = jax.vmap(one_image)(jnp.arange(b))

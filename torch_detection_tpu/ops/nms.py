@@ -31,8 +31,9 @@ from .boxes import bbox_overlaps
 class NMSResult(NamedTuple):
     boxes: jnp.ndarray  # (max_out, 4)
     scores: jnp.ndarray  # (max_out,)
-    labels: jnp.ndarray  # (max_out,) int32, -1 for padding
+    labels: jnp.ndarray  # (max_out,) int32 0-based class id (0 for single-class), -1 pad
     valid: jnp.ndarray  # (max_out,) bool
+    indices: Optional[jnp.ndarray] = None  # (max_out,) int32 original candidate index, -1 pad
 
 
 def _greedy_suppress(iou: jnp.ndarray, iou_thr: float) -> jnp.ndarray:
@@ -78,35 +79,48 @@ def nms(
     max_out: int = 100,
     valid: Optional[jnp.ndarray] = None,
     offset: float = 1.0,
+    pre_top_k: Optional[int] = None,
 ) -> NMSResult:
-    """Single-class NMS, fixed output shape (padded)."""
+    """Single-class NMS, fixed output shape (padded).
+
+    The candidate pool is decoupled from ``max_out``: suppression runs over
+    the top ``pre_top_k`` candidates by score (default: ALL of them), and
+    only then are the first ``max_out`` survivors kept — so slots freed by
+    suppression backfill from lower-ranked candidates, matching true
+    NMS-then-topk semantics.  ``pre_top_k`` bounds the (K, K) IoU matrix;
+    set it when N is large.  ``labels`` is all zeros (single class);
+    the kept candidates' original indices are in ``indices``.
+    """
     n = boxes.shape[0]
     s = jnp.where(scores > score_thr, scores, -1.0)
     if valid is not None:
         s = jnp.where(valid, s, -1.0)
-    k = min(n, max(max_out, 1))
+    k = max(min(n, pre_top_k) if pre_top_k is not None else n, 1)
 
     top_s, top_i = jax.lax.top_k(s, k)
     top_b = boxes[top_i]
     iou = bbox_overlaps(top_b, top_b, offset=offset)
     keep = _greedy_suppress(iou, iou_thr) & (top_s > 0)
 
-    # compact kept rows to the front (stable) and pad to max_out
+    # compact kept rows to the front (stable) and crop/pad to max_out
     rank = jnp.cumsum(keep) - 1
     dest = jnp.where(keep, rank, k)  # drop into an overflow slot
     out_b = jnp.zeros((k + 1, 4), boxes.dtype).at[dest].set(top_b)[:k]
     out_s = jnp.zeros((k + 1,), scores.dtype).at[dest].set(jnp.where(keep, top_s, 0.0))[:k]
     out_v = jnp.zeros((k + 1,), bool).at[dest].set(keep)[:k]
-    out_i = jnp.zeros((k + 1,), jnp.int32).at[dest].set(top_i.astype(jnp.int32))[:k]
+    out_i = jnp.full((k + 1,), -1, jnp.int32).at[dest].set(top_i.astype(jnp.int32))[:k]
 
-    pad = max_out - k
-    if pad > 0:
+    if k >= max_out:
+        out_b, out_s, out_v, out_i = (a[:max_out] for a in (out_b, out_s, out_v, out_i))
+    else:
+        pad = max_out - k
         out_b = jnp.pad(out_b, ((0, pad), (0, 0)))
         out_s = jnp.pad(out_s, ((0, pad),))
         out_v = jnp.pad(out_v, ((0, pad),))
-        out_i = jnp.pad(out_i, ((0, pad),))
-    labels = jnp.where(out_v[:max_out], out_i[:max_out], -1)
-    return NMSResult(out_b[:max_out], out_s[:max_out], labels, out_v[:max_out])
+        out_i = jnp.pad(out_i, ((0, pad),), constant_values=-1)
+    labels = jnp.where(out_v, 0, -1).astype(jnp.int32)
+    indices = jnp.where(out_v, out_i, -1)
+    return NMSResult(out_b, out_s, labels, out_v, indices)
 
 
 def multiclass_nms(
@@ -154,14 +168,19 @@ def multiclass_nms(
     out_s = jnp.zeros((k + 1,), top_s.dtype).at[dest].set(jnp.where(keep, top_s, 0.0))[:k]
     out_l = jnp.full((k + 1,), -1, jnp.int32).at[dest].set(cls_idx)[:k]
     out_v = jnp.zeros((k + 1,), bool).at[dest].set(keep)[:k]
+    out_i = jnp.full((k + 1,), -1, jnp.int32).at[dest].set(box_idx.astype(jnp.int32))[:k]
 
     if k >= max_out:
-        out_b, out_s, out_l, out_v = (a[:max_out] for a in (out_b, out_s, out_l, out_v))
+        out_b, out_s, out_l, out_v, out_i = (
+            a[:max_out] for a in (out_b, out_s, out_l, out_v, out_i)
+        )
     else:
         pad = max_out - k
         out_b = jnp.pad(out_b, ((0, pad), (0, 0)))
         out_s = jnp.pad(out_s, ((0, pad),))
         out_l = jnp.pad(out_l, ((0, pad),), constant_values=-1)
         out_v = jnp.pad(out_v, ((0, pad),))
+        out_i = jnp.pad(out_i, ((0, pad),), constant_values=-1)
     out_l = jnp.where(out_v, out_l, -1)
-    return NMSResult(out_b, out_s, out_l, out_v)
+    out_i = jnp.where(out_v, out_i, -1)
+    return NMSResult(out_b, out_s, out_l, out_v, out_i)
