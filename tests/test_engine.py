@@ -81,6 +81,103 @@ class TestCocoMap:
         assert np.isnan(large) or large == 0.0
 
 
+class TestCocoProtocolExact:
+    """Fixtures whose COCOeval results are computed analytically — the
+    match-then-ignore semantics pycocotools implements (VERDICT.md #4)."""
+
+    def test_ap_value_101_point_exact(self):
+        # dets (desc score): TP, FP, TP over 2 gts
+        # pr after envelope = [1, 2/3, 2/3]; rc = [.5, .5, 1]
+        # q(r<=0.5)=1 (51 pts), q(r>0.5)=2/3 (50 pts)
+        d = [det([[0, 0, 9, 9], [50, 50, 59, 59], [100, 100, 109, 109]],
+                 [0.9, 0.8, 0.7], [1, 1, 1])]
+        a = [ann([[0, 0, 9, 9], [100, 100, 109, 109]], [1, 1])]
+        res = eval_coco_map(d, a, 1)
+        want = (51 * 1.0 + 50 * (2.0 / 3.0)) / 101.0
+        assert res["mAP_50"] == pytest.approx(want, abs=1e-9)
+        assert res["mAP"] == pytest.approx(want, abs=1e-9)  # same at all thrs
+
+    def test_large_det_matching_small_gt_is_tp_in_small_bucket(self):
+        # gt area 1000 (small); det [0,0,24,79] area 2000 (medium), IoU=0.5.
+        # COCO matches regardless of det area; the old pre-filter dropped it.
+        d = [det([[0, 0, 24, 79]], [0.9], [1])]
+        a = [ann([[0, 0, 24, 39]], [1])]
+        res = eval_coco_map(d, a, 1)
+        assert res["mAP_s"] == pytest.approx(1.0 / 10.0, abs=1e-9)  # only thr 0.5 matches
+        # in 'all' the same: matched at 0.5 only
+        assert res["mAP_50"] == pytest.approx(1.0, abs=1e-9)
+        assert res["mAP_75"] == 0.0
+
+    def test_unmatched_out_of_range_det_ignored_not_fp(self):
+        # small gt + small TP det + far-away LARGE det:
+        # small bucket: large det ignored -> AP_s stays 1; all: it's an FP
+        d = [det([[0, 0, 9, 9], [200, 200, 299, 299]], [0.9, 0.95], [1, 1])]
+        a = [ann([[0, 0, 9, 9]], [1])]
+        res = eval_coco_map(d, a, 1)
+        assert res["mAP_s"] == pytest.approx(1.0, abs=1e-9)
+        # 'all': FP at higher score precedes the TP -> envelope pr=0.5 everywhere up to rc=1
+        assert res["mAP_50"] == pytest.approx(0.5, abs=1e-9)
+
+    def test_crowd_absorbs_multiple_dets_inter_over_det_area(self):
+        # two dets fully inside one crowd region both get ignored
+        # (iou_crowd = inter/det_area = 1), third det is a clean TP
+        d = [det([[0, 0, 9, 9], [50, 50, 59, 59], [200, 200, 209, 209]],
+                 [0.95, 0.9, 0.85], [1, 1, 1])]
+        a = [ann([[200, 200, 209, 209]], [1], ignore=[[0, 0, 99, 99]])]
+        res = eval_coco_map(d, a, 1)
+        assert res["mAP"] == pytest.approx(1.0, abs=1e-9)
+
+    def test_crowd_is_class_specific_with_labels_ignore(self):
+        # class-2 det inside a class-1 crowd must NOT be absorbed
+        a_dict = ann([[200, 200, 209, 209]], [2], ignore=[[0, 0, 99, 99]])
+        a_dict["labels_ignore"] = np.asarray([1], np.int64)
+        d = [det([[0, 0, 9, 9], [200, 200, 209, 209]], [0.95, 0.9], [2, 2])]
+        res = eval_coco_map(d, [a_dict], 2)
+        # class 2: FP (score .95) then TP -> AP_50 = 0.5
+        assert res["mAP_50"] == pytest.approx(0.5, abs=1e-9)
+        # without labels_ignore the crowd absorbs it -> AP_50 = 1
+        a2 = ann([[200, 200, 209, 209]], [2], ignore=[[0, 0, 99, 99]])
+        res2 = eval_coco_map(d, [a2], 2)
+        assert res2["mAP_50"] == pytest.approx(1.0, abs=1e-9)
+
+    def test_maxdets_sweep_ar(self):
+        # 3 gts, 3 TP dets -> AR_1 = 1/3, AR_10 = AR_100 = 1
+        boxes = [[0, 0, 9, 9], [50, 50, 59, 59], [100, 100, 109, 109]]
+        d = [det(boxes, [0.9, 0.8, 0.7], [1, 1, 1])]
+        a = [ann(boxes, [1, 1, 1])]
+        res = eval_coco_map(d, a, 1)
+        assert res["AR_1"] == pytest.approx(1.0 / 3.0, abs=1e-9)
+        assert res["AR_10"] == pytest.approx(1.0, abs=1e-9)
+        assert res["AR_100"] == pytest.approx(1.0, abs=1e-9)
+
+    def test_out_of_range_gt_absorbs_det_in_bucket(self):
+        # large gt + its matching det, evaluated in 'small': gt is ignored,
+        # det matches the ignored gt -> ignored (not FP); no small gts ->
+        # small bucket has nothing to evaluate -> reported 0.0
+        d = [det([[0, 0, 99, 99]], [0.9], [1])]
+        a = [ann([[0, 0, 99, 99]], [1])]
+        res = eval_coco_map(d, a, 1)
+        assert res["mAP_s"] == 0.0
+        assert res["mAP_l"] == pytest.approx(1.0, abs=1e-9)
+
+    def test_ann_area_overrides_box_area(self):
+        # box area is large but the annotation (segmentation) area is small:
+        # COCO buckets by ann area
+        a_dict = ann([[0, 0, 99, 99]], [1])
+        a_dict["areas"] = np.asarray([100.0])
+        d = [det([[0, 0, 99, 99]], [0.9], [1])]
+        res = eval_coco_map(d, [a_dict], 1)
+        assert res["mAP_s"] == pytest.approx(1.0, abs=1e-9)
+
+    def test_highest_iou_wins_not_first(self):
+        # det overlaps two gts above thr; must take the higher-IoU one,
+        # leaving the other for the second det
+        d = [det([[0, 0, 9, 9], [0, 0, 9, 19]], [0.9, 0.8], [1, 1])]
+        a = [ann([[0, 0, 9, 9], [0, 0, 9, 19]], [1, 1])]
+        res = eval_coco_map(d, a, 1)
+        assert res["mAP_50"] == pytest.approx(1.0, abs=1e-9)
+
+
 class TestVocMap:
     def test_perfect(self):
         d = [det([[0, 0, 9, 9]], [0.9], [1])]

@@ -106,4 +106,6 @@ class TestNative:
             without = eval_coco_map(dets, anns, 3)
         finally:
             native._lib, native._tried = saved
-        assert with_native["mAP"] == pytest.approx(without["mAP"], abs=1e-9)
+        for key, val in with_native.items():
+            if isinstance(val, float):
+                assert val == pytest.approx(without[key], abs=1e-9), key

@@ -51,12 +51,17 @@ class CocoDataset(BaseDataset):
         gt_bboxes: List = []
         gt_labels: List = []
         gt_bboxes_ignore: List = []
+        gt_labels_ignore: List = []
+        gt_areas: List = []
         gt_masks: List = []
         gt_mask_polys: List = []
         gt_poly_lens: List = []
 
         for ann in anns:
-            if not bbox_parse(ann, gt_bboxes, gt_labels, gt_bboxes_ignore, self.cat2label):
+            if not bbox_parse(
+                ann, gt_bboxes, gt_labels, gt_bboxes_ignore, self.cat2label,
+                gt_labels_ignore=gt_labels_ignore, gt_areas=gt_areas,
+            ):
                 continue
             if self.with_mask and not ann.get("iscrowd", 0):
                 mask_parse(
@@ -68,6 +73,8 @@ class CocoDataset(BaseDataset):
             bboxes=np.asarray(gt_bboxes, np.float32).reshape(-1, 4),
             labels=np.asarray(gt_labels, np.int64),
             bboxes_ignore=np.asarray(gt_bboxes_ignore, np.float32).reshape(-1, 4),
+            labels_ignore=np.asarray(gt_labels_ignore, np.int64),
+            areas=np.asarray(gt_areas, np.float64),
         )
         if self.with_mask:
             out["masks"] = gt_masks

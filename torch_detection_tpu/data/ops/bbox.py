@@ -25,11 +25,16 @@ def bbox_parse(
     gt_labels: List,
     gt_bboxes_ignore: List,
     cat2label: Dict,
+    gt_labels_ignore: Optional[List] = None,
+    gt_areas: Optional[List] = None,
 ) -> bool:
     """Append one COCO-style annotation to the accumulator lists.
 
     Returns False (and appends nothing) for ignored / degenerate boxes;
-    crowd boxes go to ``gt_bboxes_ignore``.
+    crowd boxes go to ``gt_bboxes_ignore``.  The optional accumulators
+    capture crowd class ids and annotation (segmentation) areas — the
+    COCO evaluation protocol needs both (crowds only absorb detections of
+    their own class; size buckets use the ann area, not the box area).
     """
     assert len(gt_bboxes) == len(gt_labels)
     if annotation.get("ignore", False):
@@ -40,9 +45,13 @@ def bbox_parse(
     bbox = [x1, y1, x1 + w - 1, y1 + h - 1]
     if annotation.get("iscrowd", 0):
         gt_bboxes_ignore.append(bbox)
+        if gt_labels_ignore is not None:
+            gt_labels_ignore.append(cat2label[annotation["category_id"]])
     else:
         gt_bboxes.append(bbox)
         gt_labels.append(cat2label[annotation["category_id"]])
+        if gt_areas is not None:
+            gt_areas.append(float(annotation.get("area", w * h)))
     return True
 
 

@@ -104,26 +104,168 @@ def _match_image(
     return matched, det_ignored
 
 
-def _average_precision_101(matched: np.ndarray, scores: np.ndarray, n_pos: int) -> float:
-    """COCO 101-point interpolated AP from a global match list."""
-    if n_pos == 0:
-        return float("nan")
-    if len(scores) == 0:
-        return 0.0
-    order = np.argsort(-scores, kind="mergesort")
-    tp = matched[order]
-    fp = ~tp
-    tp_cum = np.cumsum(tp)
-    fp_cum = np.cumsum(fp)
-    recall = tp_cum / n_pos
-    precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-9)
-    # precision envelope
-    for i in range(len(precision) - 1, 0, -1):
-        precision[i - 1] = max(precision[i - 1], precision[i])
-    recall_points = np.linspace(0, 1, 101)
-    idx = np.searchsorted(recall, recall_points, side="left")
-    prec_at = np.where(idx < len(precision), precision[np.minimum(idx, max(len(precision) - 1, 0))], 0.0)
-    return float(np.mean(prec_at))
+_REC_THRS = np.linspace(0.0, 1.0, 101)
+
+
+def _coco_match_img(
+    iou: np.ndarray,  # (D, G) — gt columns sorted non-ignored first
+    gt_ig: np.ndarray,  # (G,) bool, in the same sorted order
+    gt_crowd: np.ndarray,  # (G,) bool
+    iou_thrs: np.ndarray,  # (T,)
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact COCO per-image matching for all T thresholds at once.
+
+    Protocol (COCO evaluateImg): detections in descending-score order each
+    claim the highest-IoU still-free gt above the threshold; crowd gts may
+    be matched by many detections; once a detection has a non-ignored match
+    candidate, ignored gts (which sort last) cannot override it. Returns
+    (matched, ignored) each (T, D): matched = det matched ANY gt (incl.
+    ignored); ignored = the matched gt was ignored.
+    """
+    d_n, g_n = iou.shape
+    t_n = len(iou_thrs)
+
+    from .. import native
+
+    res = native.coco_match(iou, gt_ig, gt_crowd, iou_thrs)
+    if res is not None:
+        return res
+
+    dt_matched = np.zeros((t_n, d_n), bool)
+    dt_ig = np.zeros((t_n, d_n), bool)
+    for t in range(t_n):
+        thr = min(iou_thrs[t], 1.0 - 1e-10)
+        gtm = np.full(g_n, -1, np.int64)
+        for d in range(d_n):
+            best = thr
+            m = -1
+            for g in range(g_n):
+                if gtm[g] >= 0 and not gt_crowd[g]:
+                    continue
+                if m > -1 and not gt_ig[m] and gt_ig[g]:
+                    break  # gts are sorted non-ignored first; no better match
+                if iou[d, g] < best:
+                    continue
+                best = iou[d, g]
+                m = g
+            if m == -1:
+                continue
+            dt_matched[t, d] = True
+            dt_ig[t, d] = gt_ig[m]
+            gtm[m] = d
+    return dt_matched, dt_ig
+
+
+def _coco_eval_core(
+    per_class_images,  # per_class_images[k][i] = per-image eval inputs (see below)
+    num_classes: int,
+    iou_thrs: np.ndarray,
+    area_ranges: Sequence[str],
+    max_dets: Sequence[int],
+):
+    """COCO accumulate over (T thresholds, R=101 recalls, K classes,
+    A area ranges, M maxDets). Input per (class k, image i):
+    ``(dt_scores_sorted, dt_areas, iou, gt_areas, gt_crowd)`` where ``iou``
+    is (D, G) with crowd columns already normalized by detection area and
+    detections truncated to max(max_dets).  Returns (precision, recall)
+    tensors with -1 marking absent classes (COCO convention)."""
+    t_n, k_n, a_n, m_n = len(iou_thrs), num_classes, len(area_ranges), len(max_dets)
+    precision = -np.ones((t_n, len(_REC_THRS), k_n, a_n, m_n))
+    recall = -np.ones((t_n, k_n, a_n, m_n))
+
+    for k in range(k_n):
+        images = per_class_images[k]
+        for a, a_name in enumerate(area_ranges):
+            lo, hi = COCO_AREA_RANGES[a_name]
+            # per-image matching at the largest maxDet; smaller maxDets
+            # reuse it by truncating each image's detection list
+            per_img = []
+            npig = 0
+            for dt_scores, dt_areas, iou, gt_areas, gt_crowd in images:
+                gt_ig = gt_crowd | (gt_areas < lo) | (gt_areas > hi)
+                npig += int((~gt_ig).sum())
+                d_n = len(dt_scores)
+                if d_n == 0:
+                    per_img.append((dt_scores, np.zeros((t_n, 0), bool), np.zeros((t_n, 0), bool)))
+                    continue
+                if iou.shape[1]:
+                    order = np.argsort(gt_ig, kind="mergesort")  # non-ignored first
+                    matched, ignored = _coco_match_img(
+                        iou[:, order], gt_ig[order], gt_crowd[order], iou_thrs
+                    )
+                else:
+                    matched = np.zeros((t_n, d_n), bool)
+                    ignored = np.zeros((t_n, d_n), bool)
+                # unmatched detections outside the area range are ignored
+                out_of_range = (dt_areas < lo) | (dt_areas > hi)
+                ignored = ignored | (~matched & out_of_range[None, :])
+                per_img.append((dt_scores, matched, ignored))
+            if npig == 0:
+                continue
+            for m, mdet in enumerate(max_dets):
+                scores = np.concatenate([p[0][:mdet] for p in per_img])
+                if len(scores) == 0:
+                    recall[:, k, a, m] = 0.0
+                    precision[:, :, k, a, m] = 0.0
+                    continue
+                matched = np.concatenate([p[1][:, :mdet] for p in per_img], axis=1)
+                ignored = np.concatenate([p[2][:, :mdet] for p in per_img], axis=1)
+                order = np.argsort(-scores, kind="mergesort")
+                matched = matched[:, order]
+                ignored = ignored[:, order]
+                tps = np.cumsum(matched & ~ignored, axis=1, dtype=np.float64)
+                fps = np.cumsum(~matched & ~ignored, axis=1, dtype=np.float64)
+                for t in range(t_n):
+                    tp, fp = tps[t], fps[t]
+                    nd = len(tp)
+                    rc = tp / npig
+                    pr = tp / np.maximum(fp + tp, np.spacing(1))
+                    recall[t, k, a, m] = rc[-1] if nd else 0.0
+                    # precision envelope (monotone non-increasing)
+                    for i in range(nd - 1, 0, -1):
+                        if pr[i] > pr[i - 1]:
+                            pr[i - 1] = pr[i]
+                    inds = np.searchsorted(rc, _REC_THRS, side="left")
+                    q = np.zeros(len(_REC_THRS))
+                    valid = inds < nd
+                    q[valid] = pr[inds[valid]]
+                    precision[t, :, k, a, m] = q
+    return precision, recall
+
+
+def _coco_summarize(precision, recall, iou_thrs, area_ranges, max_dets, area_range):
+    def _ap(t=None, a="all", m=100):
+        a_i = list(area_ranges).index(a)
+        m_i = list(max_dets).index(m)
+        s = precision[:, :, :, a_i, m_i] if t is None else precision[[t], :, :, a_i, m_i]
+        s = s[s > -1]
+        return float(np.mean(s)) if s.size else -1.0
+
+    def _ar(a="all", m=100):
+        a_i = list(area_ranges).index(a)
+        m_i = list(max_dets).index(m)
+        s = recall[:, :, a_i, m_i]
+        s = s[s > -1]
+        return float(np.mean(s)) if s.size else -1.0
+
+    t50 = int(np.argmin(np.abs(iou_thrs - 0.5)))
+    t75 = int(np.argmin(np.abs(iou_thrs - 0.75)))
+    out = {
+        "mAP": _ap(a=area_range),
+        "mAP_50": _ap(t=t50, a=area_range),
+        "mAP_75": _ap(t=t75, a=area_range),
+    }
+    if "small" in area_ranges:
+        out["mAP_s"] = _ap(a="small")
+        out["mAP_m"] = _ap(a="medium")
+        out["mAP_l"] = _ap(a="large")
+    for m in max_dets:
+        out[f"AR_{m}"] = _ar(m=m)
+    if "small" in area_ranges:
+        out["AR_s"] = _ar(a="small")
+        out["AR_m"] = _ar(a="medium")
+        out["AR_l"] = _ar(a="large")
+    return out
 
 
 def eval_coco_map(
@@ -131,67 +273,92 @@ def eval_coco_map(
     annotations: List[Dict[str, np.ndarray]],
     num_classes: int,
     iou_thrs: Optional[Sequence[float]] = None,
-    max_dets: int = 100,
+    max_dets: Sequence[int] = (1, 10, 100),
     area_range: str = "all",
 ) -> Dict[str, float]:
-    """COCO-style mAP.
+    """Protocol-exact COCO bbox evaluation (the full 12-metric suite).
 
     detections[i]: {'boxes': (D,4), 'scores': (D,), 'labels': (D,) 1-based}
     annotations[i]: {'bboxes': (G,4), 'labels': (G,) 1-based,
-                     'bboxes_ignore': (R,4)}  (crowd/difficult regions)
-    Returns {'mAP', 'mAP_50', 'mAP_75', 'per_class': {...}}.
+                     'bboxes_ignore': (R,4) crowd boxes,
+                     optional 'labels_ignore': (R,) 1-based crowd classes
+                       (without it crowds absorb detections of EVERY class),
+                     optional 'areas': (G,) annotation areas (COCO uses the
+                       segmentation area; defaults to box area)}
+
+    Matching follows COCO evaluateImg semantics exactly: detections are
+    never pre-filtered by area — out-of-range gts are ignore-matched and
+    out-of-range UNMATCHED detections are dropped from scoring after
+    matching; crowd gts can absorb multiple detections with IoU computed
+    as intersection / detection-area.  ``area_range`` selects which bucket
+    the headline mAP keys report; the s/m/l and AR metrics are always
+    computed.  Reference ann conventions: /root/reference/datasets/coco.py:40-88.
     """
     if iou_thrs is None:
         iou_thrs = np.arange(0.5, 1.0, 0.05)
-    lo, hi = COCO_AREA_RANGES[area_range]
+    iou_thrs = np.asarray(iou_thrs, np.float64)
+    max_dets = tuple(sorted(max_dets))
+    area_ranges = ("all", "small", "medium", "large")
+    top_k = max_dets[-1]
 
-    # ap[t][c]
-    aps = np.full((len(iou_thrs), num_classes), np.nan)
-    for c in range(1, num_classes + 1):
-        per_img = []
-        n_pos = 0
-        for det, ann in zip(detections, annotations):
+    per_class_images = [[] for _ in range(num_classes)]
+    for det, ann in zip(detections, annotations):
+        crowd_boxes = np.asarray(ann.get("bboxes_ignore", np.zeros((0, 4)))).reshape(-1, 4)
+        crowd_labels = ann.get("labels_ignore")
+        gt_areas_all = ann.get("areas")
+        for c in range(1, num_classes + 1):
             keep = det["labels"] == c
-            boxes = det["boxes"][keep]
-            scores = det["scores"][keep]
-            order = np.argsort(-scores, kind="mergesort")[:max_dets]
+            boxes = np.asarray(det["boxes"])[keep]
+            scores = np.asarray(det["scores"])[keep]
+            order = np.argsort(-scores, kind="mergesort")[:top_k]
             boxes, scores = boxes[order], scores[order]
+            dt_areas = _box_area(boxes)
 
             gt_keep = ann["labels"] == c
-            gts = ann["bboxes"][gt_keep]
-            areas = _box_area(gts)
-            gt_ignore = (areas < lo) | (areas > hi)
-            ignore_regions = ann.get("bboxes_ignore", np.zeros((0, 4)))
-            n_pos += int((~gt_ignore).sum())
-            per_img.append((boxes, scores, gts, gt_ignore, ignore_regions))
+            gts = np.asarray(ann["bboxes"])[gt_keep]
+            if gt_areas_all is not None:
+                g_areas = np.asarray(gt_areas_all, np.float64)[gt_keep]
+            else:
+                g_areas = _box_area(gts)
+            if crowd_labels is not None and len(crowd_boxes):
+                crowds = crowd_boxes[np.asarray(crowd_labels) == c]
+            else:
+                crowds = crowd_boxes
+            iou = _iou_matrix(boxes, gts)
+            if len(crowds):
+                # crowd IoU = intersection / detection area (COCO iscrowd)
+                lt = np.maximum(boxes[:, None, :2], crowds[None, :, :2])
+                rb = np.minimum(boxes[:, None, 2:4], crowds[None, :, 2:4])
+                wh = np.clip(rb - lt + 1.0, 0, None)
+                inter = wh[..., 0] * wh[..., 1]
+                iou_crowd = inter / np.maximum(dt_areas[:, None], 1e-9)
+                iou = np.concatenate([iou, iou_crowd], axis=1) if iou.size else iou_crowd
+                g_areas = np.concatenate([g_areas, _box_area(crowds)])
+                gt_crowd = np.concatenate(
+                    [np.zeros(int(gt_keep.sum()), bool), np.ones(len(crowds), bool)]
+                )
+            else:
+                gt_crowd = np.zeros(int(gt_keep.sum()), bool)
+            per_class_images[c - 1].append((scores, dt_areas, iou, g_areas, gt_crowd))
 
-        for t, thr in enumerate(iou_thrs):
-            all_scores, all_matched = [], []
-            for boxes, scores, gts, gt_ignore, ignore_regions in per_img:
-                # drop detections outside the area range only when they are
-                # unmatched (COCO treats them as ignored); approximation:
-                # filter by det area when evaluating size buckets
-                if area_range != "all" and len(boxes):
-                    da = _box_area(boxes)
-                    sel = (da >= lo) & (da <= hi)
-                    boxes_t, scores_t = boxes[sel], scores[sel]
-                else:
-                    boxes_t, scores_t = boxes, scores
-                matched, det_ignored = _match_image(boxes_t, gts, gt_ignore, ignore_regions, thr)
-                keep = ~det_ignored
-                all_scores.append(scores_t[keep])
-                all_matched.append(matched[keep])
-            scores_cat = np.concatenate(all_scores) if all_scores else np.zeros(0)
-            matched_cat = np.concatenate(all_matched) if all_matched else np.zeros(0, bool)
-            aps[t, c - 1] = _average_precision_101(matched_cat, scores_cat, n_pos)
-
-    valid = ~np.isnan(aps)
-    mean_ap = float(np.nanmean(aps)) if valid.any() else 0.0
-    ap50 = float(np.nanmean(aps[0])) if valid[0].any() else 0.0
-    idx75 = int(round((0.75 - 0.5) / 0.05))
-    ap75 = float(np.nanmean(aps[idx75])) if idx75 < len(iou_thrs) and valid[idx75].any() else 0.0
-    per_class = {c + 1: float(np.nanmean(aps[:, c])) for c in range(num_classes) if valid[:, c].any()}
-    return {"mAP": mean_ap, "mAP_50": ap50, "mAP_75": ap75, "per_class": per_class}
+    precision, recall = _coco_eval_core(
+        per_class_images, num_classes, iou_thrs, area_ranges, max_dets
+    )
+    out = _coco_summarize(precision, recall, iou_thrs, area_ranges, max_dets, area_range)
+    a_i = area_ranges.index("all")
+    m_i = max_dets.index(top_k)
+    per_class = {}
+    for c in range(num_classes):
+        s = precision[:, :, c, a_i, m_i]
+        s = s[s > -1]
+        if s.size:
+            per_class[c + 1] = float(np.mean(s))
+    out["per_class"] = per_class
+    # absent classes contribute -1 in COCO; report 0.0 when nothing evaluable
+    for key, val in list(out.items()):
+        if isinstance(val, float) and val == -1.0:
+            out[key] = 0.0
+    return out
 
 
 def mask_iou_matrix(det_masks: np.ndarray, gt_masks: np.ndarray) -> np.ndarray:
@@ -211,53 +378,72 @@ def eval_coco_segm_map(
     annotations: List[Dict[str, np.ndarray]],
     num_classes: int,
     iou_thrs: Optional[Sequence[float]] = None,
-    max_dets: int = 100,
+    max_dets: Sequence[int] = (1, 10, 100),
+    area_range: str = "all",
 ) -> Dict[str, float]:
-    """COCO-style segmentation mAP (matching by mask IoU).
+    """Protocol-exact COCO segmentation evaluation (mask-IoU matching).
 
     detections[i] additionally carries ``masks`` (D, H, W) bool;
     annotations[i] carries ``masks`` (list of (H, W) uint8, aligned with
-    ``labels``).  Same protocol as ``eval_coco_map`` otherwise.
+    ``labels``) and optionally ``masks_ignore`` + ``labels_ignore`` for
+    crowd regions (crowd IoU = intersection / detection-mask area).  Areas
+    for the s/m/l buckets are mask pixel counts, as in COCO.  Same
+    accumulate/summarize core as ``eval_coco_map``.
     """
     if iou_thrs is None:
         iou_thrs = np.arange(0.5, 1.0, 0.05)
+    iou_thrs = np.asarray(iou_thrs, np.float64)
+    max_dets = tuple(sorted(max_dets))
+    area_ranges = ("all", "small", "medium", "large")
+    top_k = max_dets[-1]
 
-    aps = np.full((len(iou_thrs), num_classes), np.nan)
-    for c in range(1, num_classes + 1):
-        per_img = []
-        n_pos = 0
-        for det, ann in zip(detections, annotations):
-            keep = det["labels"] == c
-            scores = det["scores"][keep]
+    per_class_images = [[] for _ in range(num_classes)]
+    for det, ann in zip(detections, annotations):
+        ann_labels = np.asarray(ann["labels"])
+        crowd_masks_all = ann.get("masks_ignore", [])
+        crowd_labels = ann.get("labels_ignore")
+        for c in range(1, num_classes + 1):
+            keep = np.asarray(det["labels"]) == c
+            scores = np.asarray(det["scores"])[keep]
             masks = np.asarray(det["masks"])[keep]
-            order = np.argsort(-scores, kind="mergesort")[:max_dets]
+            order = np.argsort(-scores, kind="mergesort")[:top_k]
             scores, masks = scores[order], masks[order]
+            dt_flat = np.asarray(masks, bool).reshape(len(masks), -1)
+            dt_areas = dt_flat.sum(axis=1).astype(np.float64)
 
-            gt_keep = np.asarray(ann["labels"]) == c
+            gt_keep = ann_labels == c
             gt_masks = [m for m, k in zip(ann["masks"], gt_keep) if k]
-            gt_masks = np.asarray(gt_masks) if gt_masks else np.zeros((0, 1, 1))
-            n_pos += len(gt_masks)
-            miou = mask_iou_matrix(masks, gt_masks) if len(masks) and len(gt_masks) else np.zeros((len(masks), len(gt_masks)))
-            per_img.append((scores, miou, len(gt_masks)))
-
-        for t, thr in enumerate(iou_thrs):
-            all_scores, all_matched = [], []
-            for scores, miou, g in per_img:
-                matched, det_ignored = _match_image(
-                    np.zeros((len(scores), 4)), np.zeros((g, 4)),
-                    np.zeros(g, bool), np.zeros((0, 4)), thr, iou=miou,
+            gt_flat = (
+                np.asarray(gt_masks, bool).reshape(len(gt_masks), -1)
+                if gt_masks else np.zeros((0, dt_flat.shape[1] or 1), bool)
+            )
+            if crowd_labels is not None and len(crowd_masks_all):
+                crowds = [m for m, l in zip(crowd_masks_all, crowd_labels) if l == c]
+            else:
+                crowds = list(crowd_masks_all)
+            g_areas = gt_flat.sum(axis=1).astype(np.float64)
+            iou = mask_iou_matrix(masks, np.asarray(gt_masks)) if len(masks) and gt_masks else np.zeros((len(masks), len(gt_masks)))
+            if crowds:
+                cr_flat = np.asarray(crowds, bool).reshape(len(crowds), -1)
+                inter = dt_flat.astype(np.float64) @ cr_flat.astype(np.float64).T
+                iou_crowd = inter / np.maximum(dt_areas[:, None], 1e-9)
+                iou = np.concatenate([iou, iou_crowd], axis=1) if iou.size else iou_crowd
+                g_areas = np.concatenate([g_areas, cr_flat.sum(axis=1).astype(np.float64)])
+                gt_crowd = np.concatenate(
+                    [np.zeros(len(gt_masks), bool), np.ones(len(crowds), bool)]
                 )
-                keep = ~det_ignored
-                all_scores.append(scores[keep])
-                all_matched.append(matched[keep])
-            scores_cat = np.concatenate(all_scores) if all_scores else np.zeros(0)
-            matched_cat = np.concatenate(all_matched) if all_matched else np.zeros(0, bool)
-            aps[t, c - 1] = _average_precision_101(matched_cat, scores_cat, n_pos)
+            else:
+                gt_crowd = np.zeros(len(gt_masks), bool)
+            per_class_images[c - 1].append((scores, dt_areas, iou, g_areas, gt_crowd))
 
-    valid = ~np.isnan(aps)
-    mean_ap = float(np.nanmean(aps)) if valid.any() else 0.0
-    ap50 = float(np.nanmean(aps[0])) if valid[0].any() else 0.0
-    return {"mAP": mean_ap, "mAP_50": ap50}
+    precision, recall = _coco_eval_core(
+        per_class_images, num_classes, iou_thrs, area_ranges, max_dets
+    )
+    out = _coco_summarize(precision, recall, iou_thrs, area_ranges, max_dets, area_range)
+    for key, val in list(out.items()):
+        if isinstance(val, float) and val == -1.0:
+            out[key] = 0.0
+    return out
 
 
 def eval_voc_map(

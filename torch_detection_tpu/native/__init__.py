@@ -64,6 +64,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.td_match_image.restype = None
     lib.td_iou_matrix.argtypes = [dp, i64, dp, i64, ctypes.c_double, dp]
     lib.td_iou_matrix.restype = None
+    lib.td_coco_match.argtypes = [dp, i64, i64, u8p, u8p, dp, i64, u8p, u8p]
+    lib.td_coco_match.restype = None
     _lib = lib
     return _lib
 
@@ -103,6 +105,33 @@ def match_image(
         det_ignored.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return matched.astype(bool), det_ignored.astype(bool)
+
+
+def coco_match(
+    iou: np.ndarray,  # (D, G) float, gt columns sorted non-ignored first
+    gt_ig: np.ndarray,  # (G,) bool
+    gt_crowd: np.ndarray,  # (G,) bool
+    iou_thrs: np.ndarray,  # (T,)
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Native COCO evaluateImg matcher; returns (matched, ignored) each
+    (T, D) bool, or None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    d, g = iou.shape
+    t = len(iou_thrs)
+    iou_a, iou_p = _as_c(iou.reshape(d, g), np.float64)
+    gi_a, gi_p = _as_c(np.asarray(gt_ig, np.uint8).reshape(-1), np.uint8)
+    gc_a, gc_p = _as_c(np.asarray(gt_crowd, np.uint8).reshape(-1), np.uint8)
+    th_a, th_p = _as_c(np.asarray(iou_thrs, np.float64).reshape(-1), np.float64)
+    matched = np.zeros((t, d), np.uint8)
+    ignored = np.zeros((t, d), np.uint8)
+    lib.td_coco_match(
+        iou_p, d, g, gi_p, gc_p, th_p, t,
+        matched.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ignored.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return matched.astype(bool), ignored.astype(bool)
 
 
 def iou_matrix(a: np.ndarray, b: np.ndarray, offset: float = 1.0) -> Optional[np.ndarray]:

@@ -10,6 +10,7 @@
 // ABI: plain C, double/uint8 buffers, row-major [N,4] xyxy boxes with the
 // framework's inclusive +1 pixel area convention.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -88,6 +89,44 @@ void td_match_image(const double* det, int64_t D,
           break;
         }
       }
+    }
+  }
+}
+
+// Exact COCO evaluateImg matching for all T thresholds at once.
+//   iou:      [D,G] precomputed IoU, gt columns sorted non-ignored first
+//             (crowd columns already normalized by detection area)
+//   gt_ig:    [G] uint8, 1 = ignored gt (crowd or outside area range)
+//   gt_crowd: [G] uint8, 1 = crowd gt (matchable by many detections)
+//   thrs:     [T] IoU thresholds
+// outputs (row-major [T,D] uint8):
+//   matched: det matched ANY gt (including ignored ones)
+//   ignored: the matched gt was ignored
+void td_coco_match(const double* iou, int64_t D, int64_t G,
+                   const uint8_t* gt_ig, const uint8_t* gt_crowd,
+                   const double* thrs, int64_t T,
+                   uint8_t* matched, uint8_t* ignored) {
+  std::memset(matched, 0, static_cast<size_t>(T * D));
+  std::memset(ignored, 0, static_cast<size_t>(T * D));
+  std::vector<int64_t> gtm(static_cast<size_t>(G));
+  for (int64_t t = 0; t < T; ++t) {
+    double thr = thrs[t] < 1.0 - 1e-10 ? thrs[t] : 1.0 - 1e-10;
+    std::fill(gtm.begin(), gtm.end(), int64_t{-1});
+    for (int64_t d = 0; d < D; ++d) {
+      double best = thr;
+      int64_t m = -1;
+      const double* row = iou + d * G;
+      for (int64_t g = 0; g < G; ++g) {
+        if (gtm[static_cast<size_t>(g)] >= 0 && !gt_crowd[g]) continue;
+        if (m > -1 && !gt_ig[m] && gt_ig[g]) break;  // sorted: only worse left
+        if (row[g] < best) continue;
+        best = row[g];
+        m = g;
+      }
+      if (m == -1) continue;
+      matched[t * D + d] = 1;
+      ignored[t * D + d] = gt_ig[m];
+      gtm[static_cast<size_t>(m)] = d;
     }
   }
 }
