@@ -148,3 +148,172 @@ class TorchVGG(nn.Module):
             if isinstance(m, nn.MaxPool2d):
                 outs.append(x)
         return outs
+
+
+class TorchConvModule(nn.Module):
+    """conv(+relu) pair named like mmdet's ConvModule (``.conv`` child)."""
+
+    def __init__(self, in_ch, out_ch, k, stride=1, padding=0, relu=True):
+        super().__init__()
+        self.conv = nn.Conv2d(in_ch, out_ch, k, stride, padding)
+        self.relu = nn.ReLU(inplace=True) if relu else None
+
+    def forward(self, x):
+        x = self.conv(x)
+        return self.relu(x) if self.relu is not None else x
+
+
+class TorchFPN(nn.Module):
+    """mmdet-style FPN: lateral_convs / fpn_convs (extras appended)."""
+
+    def __init__(self, in_channels, out_channels, num_outs,
+                 add_extra_convs=False, extra_convs_on_inputs=True,
+                 relu_before_extra_convs=False):
+        super().__init__()
+        self.lateral_convs = nn.ModuleList(
+            [TorchConvModule(c, out_channels, 1, relu=False) for c in in_channels]
+        )
+        self.fpn_convs = nn.ModuleList(
+            [TorchConvModule(out_channels, out_channels, 3, padding=1, relu=False)
+             for _ in in_channels]
+        )
+        self.num_outs = num_outs
+        self.add_extra_convs = add_extra_convs
+        self.extra_convs_on_inputs = extra_convs_on_inputs
+        self.relu_before_extra_convs = relu_before_extra_convs
+        if add_extra_convs:
+            for k in range(num_outs - len(in_channels)):
+                src_ch = in_channels[-1] if (k == 0 and extra_convs_on_inputs) else out_channels
+                self.fpn_convs.append(
+                    TorchConvModule(src_ch, out_channels, 3, stride=2, padding=1, relu=False)
+                )
+
+    def forward(self, inputs):
+        laterals = [l(x) for l, x in zip(self.lateral_convs, inputs)]
+        for i in range(len(laterals) - 1, 0, -1):
+            laterals[i - 1] = laterals[i - 1] + nn.functional.interpolate(
+                laterals[i], scale_factor=2, mode="nearest"
+            )
+        outs = [self.fpn_convs[i](laterals[i]) for i in range(len(laterals))]
+        extra = self.num_outs - len(outs)
+        if extra > 0:
+            if not self.add_extra_convs:
+                for _ in range(extra):
+                    outs.append(nn.functional.max_pool2d(outs[-1], 1, stride=2))
+            else:
+                source = inputs[-1] if self.extra_convs_on_inputs else outs[-1]
+                for k in range(extra):
+                    if k > 0:
+                        source = (nn.functional.relu(outs[-1])
+                                  if self.relu_before_extra_convs else outs[-1])
+                    outs.append(self.fpn_convs[len(self.lateral_convs) + k](source))
+        return outs
+
+
+class TorchRetinaHead(nn.Module):
+    """mmdet-style RetinaHead naming (cls_convs/reg_convs/retina_cls/retina_reg)."""
+
+    def __init__(self, num_classes, in_channels, feat_channels, stacked_convs, num_anchors):
+        super().__init__()
+        self.cls_convs = nn.ModuleList()
+        self.reg_convs = nn.ModuleList()
+        ch = in_channels
+        for _ in range(stacked_convs):
+            self.cls_convs.append(TorchConvModule(ch, feat_channels, 3, padding=1))
+            self.reg_convs.append(TorchConvModule(ch, feat_channels, 3, padding=1))
+            ch = feat_channels
+        self.retina_cls = nn.Conv2d(feat_channels, num_anchors * num_classes, 3, padding=1)
+        self.retina_reg = nn.Conv2d(feat_channels, num_anchors * 4, 3, padding=1)
+
+    def forward(self, feats):
+        cls_out, reg_out = [], []
+        for f in feats:
+            c = r = f
+            for m in self.cls_convs:
+                c = m(c)
+            for m in self.reg_convs:
+                r = m(r)
+            cls_out.append(self.retina_cls(c))
+            reg_out.append(self.retina_reg(r))
+        return cls_out, reg_out
+
+
+class TorchRetinaNet(nn.Module):
+    """backbone + neck + bbox_head with mmdetection state_dict naming —
+    the full-detector import-fidelity oracle (VERDICT.md round-1 #2)."""
+
+    def __init__(self, depth=18, feat_channels=64, num_classes=4,
+                 stacked_convs=2, num_anchors=9):
+        super().__init__()
+        self.backbone = torch_resnet18() if depth == 18 else torch_resnet50()
+        c5 = 512 if depth == 18 else 2048
+        in_channels = (c5 // 4, c5 // 2, c5)
+        self.neck = TorchFPN(in_channels, feat_channels, num_outs=5,
+                             add_extra_convs=True, extra_convs_on_inputs=True,
+                             relu_before_extra_convs=True)
+        self.bbox_head = TorchRetinaHead(
+            num_classes, feat_channels, feat_channels, stacked_convs, num_anchors
+        )
+
+    def forward(self, x):
+        _, c3, c4, c5 = self.backbone(x)
+        feats = self.neck([c3, c4, c5])
+        return self.bbox_head(feats)
+
+
+class TorchRPNHead(nn.Module):
+    """mmdet-style RPN head naming (rpn_conv/rpn_cls/rpn_reg)."""
+
+    def __init__(self, in_channels, feat_channels, num_anchors):
+        super().__init__()
+        self.rpn_conv = nn.Conv2d(in_channels, feat_channels, 3, padding=1)
+        self.rpn_cls = nn.Conv2d(feat_channels, num_anchors, 1)
+        self.rpn_reg = nn.Conv2d(feat_channels, num_anchors * 4, 1)
+
+    def forward(self, feats):
+        scores, deltas = [], []
+        for f in feats:
+            h = nn.functional.relu(self.rpn_conv(f))
+            scores.append(self.rpn_cls(h))
+            deltas.append(self.rpn_reg(h))
+        return scores, deltas
+
+
+class TorchSharedFCBBoxHead(nn.Module):
+    """mmdet shared-2fc bbox head naming (shared_fcs/fc_cls/fc_reg)."""
+
+    def __init__(self, in_features, fc_channels, num_classes, reg_dim):
+        super().__init__()
+        self.shared_fcs = nn.ModuleList(
+            [nn.Linear(in_features, fc_channels), nn.Linear(fc_channels, fc_channels)]
+        )
+        self.fc_cls = nn.Linear(fc_channels, num_classes + 1)
+        self.fc_reg = nn.Linear(fc_channels, reg_dim)
+
+    def forward(self, x):  # x: (R, in_features)
+        for fc in self.shared_fcs:
+            x = nn.functional.relu(fc(x))
+        return self.fc_cls(x), self.fc_reg(x)
+
+
+class TorchFasterRCNN(nn.Module):
+    """Minimal Faster R-CNN parameter container with mmdet naming: the RoI
+    pooling itself is framework-specific, so parity is asserted on the RPN
+    maps and on the bbox head over FIXED pooled features."""
+
+    def __init__(self, depth=18, feat_channels=32, num_classes=4,
+                 roi_size=7, fc_channels=64, class_agnostic=False):
+        super().__init__()
+        self.backbone = torch_resnet18() if depth == 18 else torch_resnet50()
+        c5 = 512 if depth == 18 else 2048
+        self.neck = TorchFPN((c5 // 8, c5 // 4, c5 // 2, c5), feat_channels, num_outs=5)
+        self.rpn_head = TorchRPNHead(feat_channels, feat_channels, num_anchors=3)
+        reg_dim = 4 if class_agnostic else 4 * (num_classes + 1)
+        self.bbox_head = TorchSharedFCBBoxHead(
+            feat_channels * roi_size * roi_size, fc_channels, num_classes, reg_dim
+        )
+
+    def forward_rpn(self, x):
+        c2, c3, c4, c5 = self.backbone(x)
+        feats = self.neck([c2, c3, c4, c5])
+        return feats, self.rpn_head(feats)

@@ -89,7 +89,27 @@ def main() -> None:
             "params": {**variables["params"], **extra_params},
             "batch_stats": variables.get("batch_stats", {}),
         }
-    variables, _ = load_checkpoint(variables, args.checkpoint, strict=False)
+    key_rules = None
+    if args.checkpoint.startswith("torch://"):
+        # full-detector torch checkpoints (mmdetection naming) need the
+        # detector-level rule tables; backbone-only .pth files keep the
+        # default torchvision ResNet rules
+        from torch_detection_tpu.models.torch_import import (
+            faster_rcnn_key_rules,
+            load_torch_checkpoint,
+            retinanet_key_rules,
+        )
+
+        sd = load_torch_checkpoint(args.checkpoint[len("torch://"):])
+        if any(k.startswith("backbone.") for k in sd):
+            n_lat = len(cfg["model"]["neck"]["in_channels"])
+            if isinstance(model, TwoStageDetector):
+                key_rules = faster_rcnn_key_rules(num_laterals=n_lat)
+            else:
+                key_rules = retinanet_key_rules(num_laterals=n_lat)
+    variables, _ = load_checkpoint(
+        variables, args.checkpoint, strict=False, key_rules=key_rules
+    )
 
     if isinstance(det_cfg, FasterRCNNConfig):
 

@@ -76,6 +76,7 @@ def load_checkpoint(
     filename: str,
     strict: bool = False,
     log: Optional[logging.Logger] = None,
+    key_rules=None,
 ) -> Tuple[Dict[str, Any], Dict]:
     """Load weights into an initialized variable tree.
 
@@ -90,10 +91,18 @@ def load_checkpoint(
     """
     log = log or logger
     if filename.startswith("torch://"):
-        from ..models.torch_import import load_torch_checkpoint, load_torch_weights
+        from ..models.torch_import import (
+            RESNET_KEY_RULES,
+            load_torch_checkpoint,
+            load_torch_weights,
+        )
 
         state_dict = load_torch_checkpoint(filename[len("torch://"):])
-        new_vars = load_torch_weights(variables, state_dict, strict=strict, log=log)
+        new_vars = load_torch_weights(
+            variables, state_dict,
+            key_rules=key_rules if key_rules is not None else RESNET_KEY_RULES,
+            strict=strict, log=log,
+        )
         return new_vars, {"source": filename}
 
     payload = load_checkpoint_file(filename)

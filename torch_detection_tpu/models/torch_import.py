@@ -70,6 +70,127 @@ def vgg_key_rules(depth: int, with_norm: bool = False) -> Sequence[Tuple[str, Op
     return tuple(rules)
 
 
+def _fc_after_roi_transform(value: np.ndarray) -> np.ndarray:
+    """Permute a torch FC weight that consumes flattened pooled RoI features
+    from (C, S, S) input ordering to our NHWC (S, S, C) ordering.  The
+    spatial size is inferred: in_features = C * S * S with square S — we try
+    the common RoI sizes."""
+    if value.ndim != 2:
+        return value
+    out_f, in_f = value.shape
+    for s in (7, 14, 28):
+        if in_f % (s * s) == 0:
+            c = in_f // (s * s)
+            return (
+                value.reshape(out_f, c, s, s)
+                .transpose(0, 2, 3, 1)
+                .reshape(out_f, in_f)
+            )
+    return value
+
+
+def prefixed_rules(
+    rules: Sequence[Tuple[str, Optional[str]]], torch_prefix: str, flax_prefix: str
+) -> List[Tuple[str, Optional[str]]]:
+    """Re-anchor a rule table under a torch key prefix / flax path prefix
+    (e.g. backbone rules inside a full-detector state_dict)."""
+    out = []
+    for pattern, repl in rules:
+        assert pattern.startswith("^")
+        new_pat = "^" + re.escape(torch_prefix) + pattern[1:]
+        if repl is None:
+            out.append((new_pat, None))
+        elif callable(repl):
+            out.append((new_pat, lambda m, r=repl: flax_prefix + r(m)))
+        else:
+            out.append((new_pat, flax_prefix + repl))
+    return out
+
+
+def fpn_key_rules(
+    num_laterals: int,
+    start_level: int = 0,
+    torch_prefix: str = "neck.",
+    flax_prefix: str = "neck/",
+) -> List[Tuple[str, Optional[str]]]:
+    """mmdetection FPN naming -> our flax FPN naming.
+
+    mmdet: ``lateral_convs.{i}.conv`` and ``fpn_convs.{j}.conv`` where
+    ``j < num_laterals`` are the 3x3 smoothing convs and ``j >= num_laterals``
+    are the extra stride-2 levels.  Ours: ``lateral{start_level+i}``,
+    ``fpn{j}``, ``extra{j-num_laterals}`` (models/necks/fpn.py).
+    """
+    p, f = re.escape(torch_prefix), flax_prefix
+
+    def _lateral(m):
+        return f"{flax_prefix}lateral{start_level + int(m.group(1))}/{m.group(2)}.{m.group(3)}"
+
+    def _fpn(m):
+        j = int(m.group(1))
+        name = f"fpn{j}" if j < num_laterals else f"extra{j - num_laterals}"
+        return f"{flax_prefix}{name}/{m.group(2)}.{m.group(3)}"
+
+    return [
+        (rf"^{p}lateral_convs\.(\d+)\.(conv|bn|norm|gn)\.(.*)$",
+         lambda m: _lateral(m).replace("/bn.", "/norm.").replace("/gn.", "/norm.")),
+        (rf"^{p}fpn_convs\.(\d+)\.(conv|bn|norm|gn)\.(.*)$",
+         lambda m: _fpn(m).replace("/bn.", "/norm.").replace("/gn.", "/norm.")),
+    ]
+
+
+def retinanet_key_rules(
+    num_laterals: int = 3, start_level: int = 0
+) -> List[Tuple[str, Optional[str]]]:
+    """Full-detector rules for mmdetection-style RetinaNet state_dicts:
+    ``backbone.*`` (torchvision ResNet naming, reference resnet.py:26-33),
+    ``neck.*`` (FPN), ``bbox_head.{cls,reg}_convs.{i}.conv`` towers and
+    ``retina_cls``/``retina_reg`` output convs -> our
+    backbone/neck/head flax scopes (models/detectors/single_stage.py).
+    ``start_level`` offsets the flax lateral names and is 0 whenever the
+    flax FPN receives pre-sliced inputs (our configs select C3-C5 via
+    backbone out_indices, so laterals are named lateral0..)."""
+    rules = prefixed_rules(RESNET_KEY_RULES, "backbone.", "backbone/")
+    rules += fpn_key_rules(num_laterals, start_level)
+    rules += [
+        (r"^bbox_head\.cls_convs\.(\d+)\.conv\.(.*)$", r"head/cls_conv\1/conv.\2"),
+        (r"^bbox_head\.reg_convs\.(\d+)\.conv\.(.*)$", r"head/reg_conv\1/conv.\2"),
+        (r"^bbox_head\.cls_convs\.(\d+)\.(?:bn|norm|gn)\.(.*)$", r"head/cls_conv\1/norm.\2"),
+        (r"^bbox_head\.reg_convs\.(\d+)\.(?:bn|norm|gn)\.(.*)$", r"head/reg_conv\1/norm.\2"),
+        (r"^bbox_head\.retina_cls\.(.*)$", r"head/cls_out.\1"),
+        (r"^bbox_head\.retina_reg\.(.*)$", r"head/reg_out.\1"),
+    ]
+    return rules
+
+
+def faster_rcnn_key_rules(
+    num_laterals: int = 4, start_level: int = 0
+) -> List[Tuple[str, Optional[str]]]:
+    """Full-detector rules for mmdetection-style Faster/Mask R-CNN
+    state_dicts: ``rpn_head.rpn_{conv,cls,reg}``, shared-2fc
+    ``bbox_head.shared_fcs.{0,1}`` + ``fc_cls``/``fc_reg``, and the mask
+    head's ``mask_head.convs.{i}.conv`` / ``upsample`` / ``conv_logits``
+    -> our rpn/bbox_head/mask_head flax scopes
+    (models/detectors/two_stage.py, mask_rcnn.py)."""
+    rules = prefixed_rules(RESNET_KEY_RULES, "backbone.", "backbone/")
+    rules += fpn_key_rules(num_laterals, start_level)
+    rules += [
+        (r"^rpn_head\.rpn_conv\.(.*)$", r"rpn/rpn_conv.\1"),
+        (r"^rpn_head\.rpn_cls\.(.*)$", r"rpn/rpn_cls.\1"),
+        (r"^rpn_head\.rpn_reg\.(.*)$", r"rpn/rpn_reg.\1"),
+        # torch flattens pooled RoIs (C,S,S); our NHWC head flattens (S,S,C)
+        # -> permute fc1's input dimension accordingly (weight only)
+        (r"^bbox_head\.shared_fcs\.0\.(.*)$", r"bbox_head/fc1.\1",
+         _fc_after_roi_transform),
+        (r"^bbox_head\.shared_fcs\.1\.(.*)$", r"bbox_head/fc2.\1"),
+        (r"^bbox_head\.fc_cls\.(.*)$", r"bbox_head/cls.\1"),
+        (r"^bbox_head\.fc_reg\.(.*)$", r"bbox_head/reg.\1"),
+        (r"^mask_head\.convs\.(\d+)\.conv\.(.*)$", r"mask_head/conv\1.\2"),
+        (r"^mask_head\.upsample\.(.*)$", r"mask_head/upsample.\1"),
+        (r"^mask_head\.conv_logits\.(.*)$", r"mask_head/logits.\1"),
+    ]
+    return rules
+
+
 def _to_numpy(t) -> np.ndarray:
     if isinstance(t, np.ndarray):
         return t
@@ -91,6 +212,10 @@ def _classify_leaf(flax_path: str, torch_leaf: str, value: np.ndarray):
     """Return (collection, path_tuple, converted_value) or None to skip."""
     parts = tuple(flax_path.split("/"))
     if torch_leaf == "weight":
+        if value.ndim == 4 and parts[-1] == "upsample":
+            # torch ConvTranspose2d weight is (I, O, kH, kW); flax
+            # nn.ConvTranspose kernel is (kH, kW, I, O)
+            return ("params", parts + ("kernel",), np.transpose(value, (2, 3, 0, 1)))
         if value.ndim == 4:  # conv OIHW -> HWIO
             return ("params", parts + ("kernel",), np.transpose(value, (2, 3, 1, 0)))
         if value.ndim == 2:  # linear (O, I) -> (I, O)
@@ -122,10 +247,18 @@ def convert_state_dict(
     unexpected: List[str] = []
     for key, raw in state_dict.items():
         mapped = None
-        for pattern, repl in key_rules:
+        transform = None
+        for rule in key_rules:
+            pattern, repl = rule[0], rule[1]
             m = re.match(pattern, key)
             if m:
-                mapped = None if repl is None else m.expand(repl)
+                transform = rule[2] if len(rule) > 2 else None
+                if repl is None:
+                    mapped = None
+                elif callable(repl):  # index arithmetic regexes can't express
+                    mapped = repl(m)
+                else:
+                    mapped = m.expand(repl)
                 break
         else:
             unexpected.append(key)
@@ -133,7 +266,10 @@ def convert_state_dict(
         if mapped is None:
             continue
         flax_path, torch_leaf = mapped.rsplit(".", 1)
-        out = _classify_leaf(flax_path, torch_leaf, _to_numpy(raw))
+        value = _to_numpy(raw)
+        if transform is not None and torch_leaf == "weight":
+            value = transform(value)
+        out = _classify_leaf(flax_path, torch_leaf, value)
         if out is None:
             continue
         collection, path, value = out
