@@ -219,3 +219,44 @@ class TestFusedRoIAlign:
         want = multilevel_roi_align(feats, rois, (4, 8), out_size=4)
         got = multilevel_roi_align_fused(feats, rois, (4, 8), out_size=4, roi_chunk=256)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
+
+
+class TestPallasRoIAlign:
+    def test_pallas_falls_back_off_tpu(self, rng):
+        # on the CPU test platform impl='pallas' must silently use the jnp
+        # fused kernel and match the gather oracle
+        import jax
+        import jax.numpy as jnp
+
+        from torch_detection_tpu.ops.roi_align import batched_multilevel_roi_align
+
+        feats = [
+            jnp.asarray(rng.normal(size=(2, 64 // 2**i, 96 // 2**i, 8)), jnp.float32)
+            for i in range(4)
+        ]
+        xy = rng.uniform(0, 150, (2, 16, 2)).astype(np.float32)
+        wh = rng.uniform(10, 80, (2, 16, 2)).astype(np.float32)
+        rois = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+        got = batched_multilevel_roi_align(feats, rois, (4, 8, 16, 32), impl="pallas")
+        want = batched_multilevel_roi_align(feats, rois, (4, 8, 16, 32), impl="gather")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
+
+    @pytest.mark.skipif(
+        jax.devices()[0].platform != "tpu", reason="Mosaic kernel needs a TPU"
+    )
+    def test_pallas_matches_gather_on_tpu(self, rng):
+        import jax.numpy as jnp
+
+        from torch_detection_tpu.ops.roi_align import batched_multilevel_roi_align
+
+        feats = [
+            jnp.asarray(rng.normal(size=(2, 64 // 2**i, 96 // 2**i, 128)), jnp.float32)
+            for i in range(4)
+        ]
+        xy = rng.uniform(0, 150, (2, 16, 2)).astype(np.float32)
+        w = rng.uniform(10, 80, (2, 16, 1)).astype(np.float32)
+        a = rng.uniform(0.5, 2.0, (2, 16, 1)).astype(np.float32)
+        rois = jnp.asarray(np.concatenate([xy, xy + np.concatenate([w, w * a], -1)], -1))
+        got = batched_multilevel_roi_align(feats, rois, (4, 8, 16, 32), impl="pallas")
+        want = batched_multilevel_roi_align(feats, rois, (4, 8, 16, 32), impl="gather")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)

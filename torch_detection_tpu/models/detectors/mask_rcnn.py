@@ -111,7 +111,7 @@ def mask_rcnn_loss(
     rois, roi_labels, targets, roi_pos = jax.vmap(sample_pos_rois)(jnp.arange(b))
 
     roi_feats = batched_multilevel_roi_align(
-        [f.astype(jnp.float32) for f in feats[: len(cfg.roi_strides)]],
+        list(feats[: len(cfg.roi_strides)]),  # native dtype; einsums accumulate f32
         rois, cfg.roi_strides, cfg.mask_roi_size, finest_scale=cfg.finest_scale,
     )
     mask_logits = model.apply(
@@ -154,7 +154,7 @@ def mask_rcnn_inference(
 
     feats, _, _ = model.apply(variables, images)
     roi_feats = batched_multilevel_roi_align(
-        [f.astype(jnp.float32) for f in feats[: len(cfg.roi_strides)]],
+        list(feats[: len(cfg.roi_strides)]),  # native dtype; einsums accumulate f32
         roi_boxes, cfg.roi_strides, cfg.mask_roi_size, finest_scale=cfg.finest_scale,
     )
     mask_logits = model.apply(variables, roi_feats, method=MaskRCNN.mask_forward)

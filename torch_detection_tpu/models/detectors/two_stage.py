@@ -205,7 +205,7 @@ def faster_rcnn_loss(
     rois, roi_labels, roi_reg_t, roi_pos, roi_valid = jax.vmap(sample_rois)(jnp.arange(b))
 
     roi_feats = batched_multilevel_roi_align(
-        [f.astype(jnp.float32) for f in feats[: len(cfg.roi_strides)]],
+        list(feats[: len(cfg.roi_strides)]),  # native dtype; einsums accumulate f32
         rois, cfg.roi_strides, cfg.roi_size, finest_scale=cfg.finest_scale,
     )
     cls_logits, reg_pred = model.apply(variables, roi_feats, train=train, method=TwoStageDetector.roi_forward)
@@ -256,7 +256,7 @@ def faster_rcnn_inference(
         cfg.proposal_test, cfg.anchor_generator, rpn_scores, rpn_deltas, img_shapes
     )
     roi_feats = batched_multilevel_roi_align(
-        [f.astype(jnp.float32) for f in feats[: len(cfg.roi_strides)]],
+        list(feats[: len(cfg.roi_strides)]),  # native dtype; einsums accumulate f32
         proposals.boxes, cfg.roi_strides, cfg.roi_size, finest_scale=cfg.finest_scale,
     )
     cls_logits, reg_pred = model.apply(

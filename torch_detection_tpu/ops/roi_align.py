@@ -17,7 +17,7 @@ this is the TPU-native design:
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -127,41 +127,30 @@ def multilevel_roi_align(
     return out
 
 
-def multilevel_roi_align_fused(
+def _prepare_windows(
     feats: Sequence[jax.Array],  # per level (H_l, W_l, C), one image
     rois: jax.Array,  # (R, 4) image coords
     strides: Sequence[int],
-    out_size: int = 7,
-    sampling_ratio: int = 2,
-    finest_scale: float = 56.0,
-    crop: int = 40,
-    roi_chunk: int = 256,
-) -> jax.Array:
-    """Fast RoIAlign: per-roi window crop + interpolation matmuls.
+    out_size: int,
+    sampling_ratio: int,
+    finest_scale: float,
+    crop: int,
+    crop_x: Optional[int] = None,
+    x_align: int = 1,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Shared window/weight prep for the fused jnp and Pallas RoIAlign:
+    returns (flat pyramid (H_tot, w_max, C), starts (R, 2) int32 incl. the
+    level row offset, wy (R, S, crop), wx (R, S, crop_x) bilinear weights).
 
-    The gather formulation (``multilevel_roi_align``) issues per-sample
-    gathers — irregular memory traffic the TPU hates (~200 ms for 4x1000
-    rois).  This version exploits the FPN routing invariant (a roi spans at
-    most ~crop cells at its routed level) to:
-
-      1. stack all levels into one flattened pyramid (rows concatenated,
-         width padded) so every roi crops from ONE array;
-      2. ``dynamic_slice`` a (crop, crop, C) window per roi — batched
-         dynamic-slices lower to regular block gathers;
-      3. interpolate with two small dense matmuls (MXU) instead of gathers:
-         samples = Wy @ window @ Wx^T, then 2x2 average-pool.
-
-    Exact vs the gather version for rois spanning <= crop-1 cells at their
-    level (everything FPN routing produces except extreme >4:1 aspect
-    giants, whose edge samples clamp to the window).
-    """
+    ``x_align`` floors the column origin to a multiple (Mosaic requires
+    sublane-aligned offsets when slicing the second-minor dim); pair it with
+    a ``crop_x`` widened by the alignment so coverage is preserved."""
     num_levels = len(feats)
-    dtype = feats[0].dtype
-    c = feats[0].shape[-1]
     s = out_size * sampling_ratio
+    crop_x = crop_x or crop
 
     # flattened pyramid: pad widths to the max, heights to >= crop, concat rows
-    w_max = max(max(f.shape[1] for f in feats), crop)
+    w_max = max(max(f.shape[1] for f in feats), crop, crop_x)
     padded = []
     row_offsets = []
     heights = []
@@ -193,37 +182,91 @@ def multilevel_roi_align_fused(
     ys = y1[:, None] + (rh / out_size)[:, None] * grid[None, :]  # (R, S)
     xs = x1[:, None] + (rw / out_size)[:, None] * grid[None, :]
 
-    def axis_weights(coords, dim_size, origin):
-        """Bilinear weights over the crop window -> (R, S, crop)."""
+    def axis_weights(coords, dim_size, origin, width):
+        """Bilinear weights over the crop window -> (R, S, width)."""
         c0 = jnp.floor(coords)
         t = coords - c0
         c0i = jnp.clip(c0.astype(jnp.int32), 0, (dim_size - 1)[:, None].astype(jnp.int32))
         c1i = jnp.clip(c0i + 1, 0, (dim_size - 1)[:, None].astype(jnp.int32))
-        l0 = jnp.clip(c0i - origin[:, None].astype(jnp.int32), 0, crop - 1)
-        l1 = jnp.clip(c1i - origin[:, None].astype(jnp.int32), 0, crop - 1)
-        w0 = jax.nn.one_hot(l0, crop, dtype=jnp.float32) * (1.0 - t)[..., None]
-        w1 = jax.nn.one_hot(l1, crop, dtype=jnp.float32) * t[..., None]
+        l0 = jnp.clip(c0i - origin[:, None].astype(jnp.int32), 0, width - 1)
+        l1 = jnp.clip(c1i - origin[:, None].astype(jnp.int32), 0, width - 1)
+        w0 = jax.nn.one_hot(l0, width, dtype=jnp.float32) * (1.0 - t)[..., None]
+        w1 = jax.nn.one_hot(l1, width, dtype=jnp.float32) * t[..., None]
         return w0 + w1
 
     origin_y = jnp.clip(jnp.floor(ys[:, 0]), 0.0, jnp.maximum(h_arr - crop, 0.0))
-    origin_x = jnp.clip(jnp.floor(xs[:, 0]), 0.0, jnp.maximum(w_arr - crop, 0.0))
-    wy = axis_weights(ys, h_arr, origin_y)  # (R, S, crop)
-    wx = axis_weights(xs, w_arr, origin_x)
+    # clamp with the WIDENED x-crop so the aligned window never runs past
+    # the padded pyramid width
+    origin_x = jnp.clip(jnp.floor(xs[:, 0]), 0.0, jnp.maximum(w_arr - crop_x, 0.0))
+    if x_align > 1:
+        origin_x = jnp.floor(origin_x / x_align) * x_align
+    wy = axis_weights(ys, h_arr, origin_y, crop)  # (R, S, crop)
+    wx = axis_weights(xs, w_arr, origin_x, crop_x)  # (R, S, crop_x)
 
     row_start = (off_arr + origin_y).astype(jnp.int32)  # (R,)
     col_start = origin_x.astype(jnp.int32)
+    return flat, jnp.stack([row_start, col_start], axis=-1), wy, wx
+
+
+def multilevel_roi_align_fused(
+    feats: Sequence[jax.Array],  # per level (H_l, W_l, C), one image
+    rois: jax.Array,  # (R, 4) image coords
+    strides: Sequence[int],
+    out_size: int = 7,
+    sampling_ratio: int = 2,
+    finest_scale: float = 56.0,
+    crop: int = 40,
+    roi_chunk: int = 256,
+) -> jax.Array:
+    """Fast RoIAlign: per-roi window crop + interpolation matmuls.
+
+    The gather formulation (``multilevel_roi_align``) issues per-sample
+    gathers — irregular memory traffic the TPU hates (~200 ms for 4x1000
+    rois).  This version exploits the FPN routing invariant (a roi spans at
+    most ~crop cells at its routed level) to:
+
+      1. stack all levels into one flattened pyramid (rows concatenated,
+         width padded) so every roi crops from ONE array;
+      2. ``dynamic_slice`` a (crop, crop, C) window per roi — batched
+         dynamic-slices lower to regular block gathers;
+      3. interpolate with two small dense matmuls (MXU) instead of gathers:
+         samples = Wy @ window @ Wx^T, then 2x2 average-pool.
+
+    Exact vs the gather version for rois spanning <= crop-1 cells at their
+    level (everything FPN routing produces except extreme >4:1 aspect
+    giants, whose edge samples clamp to the window).
+    """
+    dtype = feats[0].dtype
+    c = feats[0].shape[-1]
+    s = out_size * sampling_ratio
+    flat, starts, wy, wx = _prepare_windows(
+        feats, rois, strides, out_size, sampling_ratio, finest_scale, crop
+    )
+    row_start = starts[:, 0]
+    col_start = starts[:, 1]
 
     def chunk_fn(args):
         wy_c, wx_c, rs_c, cs_c = args
 
+        # f32 inputs keep exact MXU passes (TPU default truncates operands
+        # to bf16 mantissas); bf16 inputs use the native single-pass rate
+        prec = (
+            jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+
         def one(wy_r, wx_r, r0, c0):
+            # keep the einsums in the feature dtype (bf16 in prod -> native
+            # MXU rate) with f32 accumulation; intermediate rounds to the
+            # feature dtype, which is the standard mixed-precision contract
             window = jax.lax.dynamic_slice(flat, (r0, c0, 0), (crop, crop, c))
             tmp = jnp.einsum(
-                "sh,hwc->swc", wy_r, window.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
+                "sh,hwc->swc", wy_r.astype(dtype), window,
+                precision=prec, preferred_element_type=jnp.float32,
             )
             return jnp.einsum(
-                "swc,tw->stc", tmp, wx_r, preferred_element_type=jnp.float32
+                "swc,tw->stc", tmp.astype(dtype), wx_r.astype(dtype),
+                precision=prec, preferred_element_type=jnp.float32,
             )
 
         return jax.vmap(one)(wy_c, wx_c, rs_c, cs_c)
@@ -252,14 +295,27 @@ def batched_multilevel_roi_align(
     out_size: int = 7,
     sampling_ratio: int = 2,
     finest_scale: float = 56.0,
-    impl: str = "fused",
+    impl: str = "pallas",
 ) -> jax.Array:
     """(B, R, out, out, C) aligned features.
 
-    ``impl='fused'`` (default) uses the crop+matmul kernel; ``'gather'`` is
-    the per-sample gather oracle.
+    ``impl='pallas'`` (default, TPU) DMAs windows straight into VMEM with
+    the interpolation on the MXU; ``'fused'`` is the pure-jnp crop+matmul
+    kernel (and the automatic fallback off-TPU); ``'gather'`` is the
+    per-sample gather oracle.
     """
-    fn = multilevel_roi_align_fused if impl == "fused" else multilevel_roi_align
+    if impl == "pallas" and (
+        jax.devices()[0].platform != "tpu" or feats[0].shape[-1] % 128 != 0
+    ):
+        # Mosaic only lowers on TPU, and the in-kernel (crop, crop_x*C)
+        # reshape needs full 128-lane channel tiles
+        impl = "fused"
+    if impl == "pallas":
+        from .roi_align_pallas import multilevel_roi_align_pallas as fn
+    elif impl == "fused":
+        fn = multilevel_roi_align_fused
+    else:
+        fn = multilevel_roi_align
 
     def one_image(i):
         return fn(
