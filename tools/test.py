@@ -23,6 +23,8 @@ def main() -> None:
     parser.add_argument("config")
     parser.add_argument("checkpoint", help="orbax dir or torch://path.pth")
     parser.add_argument("--tta", action="store_true", help="multi-scale x flip fusion")
+    parser.add_argument("--batch", type=int, default=8,
+                        help="images per inference batch (per canvas bucket)")
     parser.add_argument("--max-images", type=int, default=None)
     parser.add_argument("--voc-metric", action="store_true", help="VOC AP@0.5 instead of COCO mAP")
     args = parser.parse_args()
@@ -130,36 +132,67 @@ def main() -> None:
             )
 
     n = len(dataset) if args.max_images is None else min(args.max_images, len(dataset))
-    detections, annotations = [], []
+
+    # ---- batched, bucketed inference: every (image, augmentation) work item
+    # is routed to a fixed canvas bucket (coarse 128-px rounding keeps the
+    # number of distinct XLA programs small); each bucket flushes in batches
+    # of --batch through ONE jitted program per shape.
+    results = {}  # (img_idx, aug_idx) -> per-aug detection dict
+    pending = {}  # bucket (H, W) -> list of (img_idx, aug_idx, img, img_shape)
+    metas_all = [None] * n
+
+    def flush(bucket, items):
+        b = len(items)
+        pad_to = args.batch
+        padded = np.zeros((pad_to, bucket[0], bucket[1], 3), np.float32)
+        shapes = np.ones((pad_to, 2), np.float32)
+        for j, (_, _, img, img_shape) in enumerate(items):
+            padded[j, : img.shape[0], : img.shape[1]] = img
+            shapes[j] = img_shape
+        res = infer(
+            variables, jnp.asarray(padded), jnp.asarray(shapes),
+            jnp.ones((pad_to,), jnp.float32),  # undo scale in TTA merge
+        )
+        boxes = np.asarray(res.boxes)
+        scores = np.asarray(res.scores)
+        labels = np.asarray(res.labels)
+        valid = np.asarray(res.valid)
+        for j, (img_idx, aug_idx, _, _) in enumerate(items):
+            v = valid[j]
+            results[(img_idx, aug_idx)] = dict(
+                boxes=boxes[j][v], scores=scores[j][v], labels=labels[j][v]
+            )
+
+    done = 0
     for i in range(n):
         sample = dataset[i]
-        per_aug = []
-        metas = [m.data for m in sample["img_meta"]]
-        for img, meta in zip(sample["img"], metas):
-            hw = pick_canvas([img.shape[:2]], canvas=canvas if not args.tta else None)
-            padded = np.zeros((1, hw[0], hw[1], 3), np.float32)
-            padded[0, : img.shape[0], : img.shape[1]] = img
-            res = infer(
-                variables,
-                jnp.asarray(padded),
-                jnp.asarray([[meta["img_shape"][0], meta["img_shape"][1]]], jnp.float32),
-                jnp.asarray([1.0]),  # undo scale during TTA merge instead
-            )
-            v = np.asarray(res.valid[0])
-            per_aug.append(
-                dict(
-                    boxes=np.asarray(res.boxes[0])[v],
-                    scores=np.asarray(res.scores[0])[v],
-                    labels=np.asarray(res.labels[0])[v],
-                )
-            )
-        fused = merge_tta_detections(per_aug, metas, iou_thr=det_cfg.nms_iou_thr)
+        metas_all[i] = [m.data for m in sample["img_meta"]]
+        for aug_idx, (img, meta) in enumerate(zip(sample["img"], metas_all[i])):
+            if not args.tta and canvas is not None:
+                bucket = pick_canvas([img.shape[:2]], canvas=canvas)
+            else:
+                bucket = pick_canvas([img.shape[:2]], size_divisor=128)
+            items = pending.setdefault(bucket, [])
+            items.append((i, aug_idx, img,
+                          (meta["img_shape"][0], meta["img_shape"][1])))
+            if len(items) == args.batch:
+                flush(bucket, items)
+                pending[bucket] = []
+        done += 1
+        if done % 100 == 0:
+            logging.info("loaded %d/%d images (%d buckets live)", done, n, len(pending))
+    for bucket, items in pending.items():
+        if items:
+            flush(bucket, items)
+
+    detections, annotations = [], []
+    for i in range(n):
+        per_aug = [results[(i, a)] for a in range(len(metas_all[i]))]
+        fused = merge_tta_detections(per_aug, metas_all[i], iou_thr=det_cfg.nms_iou_thr)
         detections.append(
             dict(boxes=fused["boxes"], scores=fused["scores"], labels=fused["labels"] + 1)
         )
         annotations.append(dataset.get_ann_info(i))
-        if (i + 1) % 100 == 0:
-            logging.info("inferred %d/%d", i + 1, n)
 
     if args.voc_metric:
         results = eval_voc_map(detections, annotations, det_cfg.num_classes, use_07_metric=True)

@@ -113,10 +113,15 @@ class Trainer:
                     metrics["epoch"] = epoch
                     metrics["step"] = global_step
                     self.history.append(metrics)
+                    # print every loss_* component verbatim so two-stage
+                    # metric names (loss_rpn_cls, loss_rcnn_reg, ...) show
+                    parts = " ".join(
+                        f"{k[5:]} {v:.4f}" for k, v in sorted(metrics.items())
+                        if k.startswith("loss_")
+                    )
                     logger.info(
-                        "epoch %d step %d loss %.4f (cls %.4f reg %.4f) %.1f img/s",
-                        epoch, global_step, metrics.get("loss", 0.0),
-                        metrics.get("loss_cls", 0.0), metrics.get("loss_reg", 0.0), ips,
+                        "epoch %d step %d loss %.4f (%s) %.1f img/s",
+                        epoch, global_step, metrics.get("loss", 0.0), parts, ips,
                     )
             if self.profile_dir and epoch == start_epoch:
                 jax.profiler.stop_trace()
