@@ -130,3 +130,40 @@ class TestRemat:
         g_r = loss(remat)
         a = jax.tree_util.tree_leaves(jax.tree_util.tree_map(lambda p, q: np.abs(np.asarray(p) - np.asarray(q)).max(), g_p, g_r))
         assert max(a) < 1e-5
+
+
+class TestMobileNetV2TorchParity:
+    def test_torchvision_import_matches(self):
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+
+        from torch_refs import TorchMobileNetV2, randomize_bn_stats
+        from torch_detection_tpu.models.backbones import MobileNetV2
+        from torch_detection_tpu.models.torch_import import (
+            load_torch_weights,
+            mobilenetv2_key_rules,
+        )
+
+        torch.manual_seed(7)
+        tm = TorchMobileNetV2()
+        randomize_bn_stats(tm, seed=7)
+        tm.eval()
+
+        jm = MobileNetV2(out_indices=(2, 4, 6), norm_cfg={"type": "FrozenBN"})
+        x = np.random.default_rng(8).normal(0, 1, (1, 64, 96, 3)).astype(np.float32)
+        variables = jax.jit(jm.init)(jax.random.PRNGKey(0), jnp.asarray(x))
+        variables = load_torch_weights(
+            variables, tm.state_dict(), key_rules=mobilenetv2_key_rules(with_last_conv=False), strict=True
+        )
+        with torch.no_grad():
+            want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        got = jax.jit(jm.apply)(variables, jnp.asarray(x))
+        assert len(got) == 3
+        for lvl in range(3):
+            np.testing.assert_allclose(
+                np.asarray(got[lvl]),
+                want[lvl].numpy().transpose(0, 2, 3, 1),
+                atol=1e-4, rtol=1e-4, err_msg=f"level {lvl}",
+            )

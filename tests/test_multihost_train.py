@@ -1,0 +1,124 @@
+"""Simulated multi-host training end-to-end (VERDICT.md round-1 #6).
+
+Two explicit (num_replicas=2, rank) DistributedGroupSampler shards feed a
+2-device data mesh; the DP-sharded train step on the concatenated global
+batch must produce the same loss and parameters as a single-device step on
+the identical batch, and the shards must cover the epoch disjointly.
+Reference analog: datasets/loader/dataset_sampler.py:69-179 (the one
+distributed artifact the reference shipped).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from data_fixtures import make_coco
+
+from torch_detection_tpu.data import build_dataloader, get_datasets
+from torch_detection_tpu.models.detectors import RetinaNetConfig, SingleStageDetector, retina_loss
+from torch_detection_tpu.ops.anchors import AnchorGenerator
+from torch_detection_tpu.parallel import (
+    create_train_state,
+    make_mesh,
+    make_train_step,
+    shard_batch,
+    shard_params,
+)
+
+
+@pytest.fixture(scope="module")
+def coco_dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mh"))
+    ann_file, img_dir = make_coco(root)
+    return get_datasets(dict(
+        type="CocoDataset", ann_file=ann_file, img_prefix=img_dir,
+        img_means=(0, 0, 0), img_stds=(1, 1, 1), img_expected_sizes=(100, 60),
+        size_divisor=32, flip_ratio=0.0,
+    ))
+
+
+def _replica_loader(dataset, rank):
+    return build_dataloader(
+        dataset, sample_per_replica=2, dist=True, num_replicas=2, rank=rank,
+        seed=11, max_gts=8, canvas=(128, 128), prefetch=0,
+    )
+
+
+def test_replica_shards_disjoint_and_cover(coco_dataset):
+    loaders = [_replica_loader(coco_dataset, r) for r in (0, 1)]
+    seen = []
+    for loader in loaders:
+        idxs = list(iter(loader.sampler))
+        seen.append(idxs)
+        assert len(idxs) == len(loader.sampler)
+    # same per-rank length, disjoint as multisets up to the cyclic pad,
+    # union covers every dataset index
+    assert len(seen[0]) == len(seen[1])
+    union = set(seen[0]) | set(seen[1])
+    assert union == set(range(len(coco_dataset)))
+
+
+def test_two_replica_step_matches_single(coco_dataset):
+    model = SingleStageDetector(
+        backbone=dict(type="ResNet", depth=18, num_stages=4, out_indices=(1, 2, 3)),
+        neck=dict(type="FPN", in_channels=(128, 256, 512), out_channels=16,
+                  num_outs=5, add_extra_convs=True),
+        head=dict(type="RetinaHead", num_classes=2, in_channels=16,
+                  feat_channels=16, stacked_convs=1, num_base_anchors=9),
+    )
+    det_cfg = RetinaNetConfig(
+        num_classes=2,
+        anchor_generator=AnchorGenerator(
+            strides=(8, 16, 32, 64, 128), ratios=(0.5, 1.0, 2.0),
+            octave_base_scale=4.0, scales_per_octave=3,
+        ),
+    )
+
+    def loss_fn(params, batch_stats, batch):
+        cls, reg = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch["image"], train=True
+        )
+        losses = retina_loss(
+            det_cfg, cls, reg, batch["gt_boxes"], batch["gt_labels"],
+            batch["gt_valid"], img_shapes=batch.get("img_shape"),
+        )
+        return losses["loss"], {"loss_cls": losses["loss_cls"]}
+
+    # each rank produces its own local batch; the global batch is their concat
+    local = []
+    for rank in (0, 1):
+        batch = next(iter(_replica_loader(coco_dataset, rank)))
+        batch.pop("img_meta", None)
+        local.append(batch)
+    global_batch = {
+        k: np.concatenate([local[0][k], local[1][k]]) for k in local[0]
+    }
+
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    tx = optax.sgd(0.01, momentum=0.9)
+
+    # single-device reference on the full global batch
+    s1 = create_train_state(variables["params"], tx, batch_stats=variables["batch_stats"])
+    step1 = make_train_step(loss_fn, tx, donate_state=False)
+    s1, m1 = step1(s1, {k: jnp.asarray(v) for k, v in global_batch.items()})
+
+    # 2-replica data-parallel mesh on the same global batch
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    with mesh:
+        params = shard_params(mesh, variables["params"])
+        stats = shard_params(mesh, variables["batch_stats"])
+        s2 = create_train_state(params, tx, batch_stats=stats)
+        step2 = make_train_step(loss_fn, tx, mesh=mesh, donate_state=False)(s2)
+        s2, m2 = step2(s2, shard_batch(mesh, global_batch))
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=2e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+        ),
+        s1.params, jax.device_get(s2.params),
+    )

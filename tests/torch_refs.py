@@ -317,3 +317,64 @@ class TorchFasterRCNN(nn.Module):
         c2, c3, c4, c5 = self.backbone(x)
         feats = self.neck([c2, c3, c4, c5])
         return feats, self.rpn_head(feats)
+
+
+def _conv_bn_relu(in_ch, out_ch, k=3, stride=1, groups=1):
+    return nn.Sequential(
+        nn.Conv2d(in_ch, out_ch, k, stride, (k - 1) // 2, groups=groups, bias=False),
+        nn.BatchNorm2d(out_ch),
+        nn.ReLU6(inplace=True),
+    )
+
+
+class TorchInvertedResidual(nn.Module):
+    """torchvision MobileNetV2 block naming (conv Sequential)."""
+
+    def __init__(self, inp, oup, stride, expand_ratio):
+        super().__init__()
+        self.stride = stride
+        hidden = inp * expand_ratio
+        self.use_res = stride == 1 and inp == oup
+        layers = []
+        if expand_ratio != 1:
+            layers.append(_conv_bn_relu(inp, hidden, 1))
+        layers += [
+            _conv_bn_relu(hidden, hidden, 3, stride, groups=hidden),
+            nn.Conv2d(hidden, oup, 1, bias=False),
+            nn.BatchNorm2d(oup),
+        ]
+        self.conv = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return x + self.conv(x) if self.use_res else self.conv(x)
+
+
+class TorchMobileNetV2(nn.Module):
+    """torchvision-naming MobileNetV2 returning /8,/16,/32 features."""
+
+    CFG = ((1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+           (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1))
+
+    def __init__(self, out_stages=(2, 4, 6)):
+        super().__init__()
+        self.out_stages = out_stages
+        features = [_conv_bn_relu(3, 32, 3, 2)]
+        self.stage_of = []  # feature idx -> stage idx
+        in_ch = 32
+        for s, (t, c, n, stride) in enumerate(self.CFG):
+            for j in range(n):
+                features.append(
+                    TorchInvertedResidual(in_ch, c, stride if j == 0 else 1, t)
+                )
+                self.stage_of.append(s)
+                in_ch = c
+        features.append(_conv_bn_relu(in_ch, 1280, 1))
+        self.features = nn.Sequential(*features)
+
+    def forward(self, x):
+        outs = {}
+        x = self.features[0](x)
+        for i, m in enumerate(list(self.features)[1:-1]):
+            x = m(x)
+            outs[self.stage_of[i]] = x
+        return [outs[s] for s in self.out_stages]

@@ -44,9 +44,20 @@ def main() -> None:
     work_dir = args.work_dir or runtime.get("work_dir", "work_dirs/default")
     total_epochs = args.epochs or cfg.get("schedule", {}).get("total_epochs", 12)
 
+    # multi-host bring-up: no-op on a single host; on a pod every process
+    # wires the ICI/DCN fabric here and the data tier shards by
+    # jax.process_index() (build_dataloader's dist switch below)
+    from torch_detection_tpu.parallel import init_distributed
+
+    dist_info = init_distributed()
+
     mesh_cfg = runtime.get("mesh", {})
     mesh = make_mesh(model=mesh_cfg.get("model", 1))
-    logging.info("mesh: %s over %d devices", dict(mesh.shape), len(jax.devices()))
+    logging.info(
+        "process %d/%d, mesh: %s over %d devices",
+        dist_info["process_index"], dist_info["process_count"],
+        dict(mesh.shape), len(jax.devices()),
+    )
 
     model, det_cfg, loader, tx = build_train_objects(cfg, data_parallel=mesh.shape["data"])
 

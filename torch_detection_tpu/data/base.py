@@ -73,6 +73,7 @@ class BaseDataset:
         debug: bool = False,
         seed: int = 0,
         size_mode: str = "value",
+        normalize_on_device: bool = False,
     ):
         self.img_infos = self.load_annotations(ann_file)
         self.img_prefix = img_prefix
@@ -112,7 +113,12 @@ class BaseDataset:
             self._set_group_flag()
 
         self.img_transforms = ImageTransforms(
-            img_means=self.img_means, img_stds=self.img_stds, size_divisor=self.size_divisor
+            img_means=self.img_means, img_stds=self.img_stds,
+            size_divisor=self.size_divisor,
+            # uint8 wire: ship u8 canvases and normalize on-device with the
+            # Pallas fused kernel (ops/preprocess.py) — 4x less host->device
+            # traffic and no f32 convert on the (1-core) host
+            normalize_on_device=normalize_on_device,
         )
         self.bbox_transforms = BboxTransforms()
         self.mask_transforms = MaskTransforms()

@@ -70,6 +70,54 @@ def vgg_key_rules(depth: int, with_norm: bool = False) -> Sequence[Tuple[str, Op
     return tuple(rules)
 
 
+def mobilenetv2_key_rules(with_last_conv: bool = True) -> List[Tuple[str, Optional[str]]]:
+    """Key rules for torchvision MobileNetV2 state_dicts.
+
+    torchvision flattens the 17 inverted-residual blocks plus stem and the
+    final 1x1 into ``features.{0..18}``; block sub-modules are
+    ``conv.{j}.{0,1}`` ConvBNReLU pairs except the project conv/bn which are
+    bare ``conv.{k}`` / ``conv.{k+1}`` (and block 1 has no expand).  Maps to
+    our ``stem`` / ``layer{s}_{j}/{expand,dw,project}`` / ``last_conv``
+    naming (models/backbones/mobilenet.py MobileNetV2).
+    """
+    stage_blocks = (1, 2, 3, 4, 3, 3, 1)  # MOBILENETV2_SETTINGS block counts
+    rules: List[Tuple[str, Optional[str]]] = [
+        (r"^features\.0\.0\.(.*)$", r"stem/conv.\1"),
+        (r"^features\.0\.1\.(.*)$", r"stem/norm.\1"),
+    ]
+    feat = 1
+    for s, blocks in enumerate(stage_blocks):
+        for j in range(blocks):
+            base = rf"^features\.{feat}\.conv\."
+            name = f"layer{s + 1}_{j}"
+            if feat == 1:  # expansion 1: no expand conv
+                rules += [
+                    (base + r"0\.0\.(.*)$", rf"{name}/dw/conv.\1"),
+                    (base + r"0\.1\.(.*)$", rf"{name}/dw/norm.\1"),
+                    (base + r"1\.(.*)$", rf"{name}/project/conv.\1"),
+                    (base + r"2\.(.*)$", rf"{name}/project/norm.\1"),
+                ]
+            else:
+                rules += [
+                    (base + r"0\.0\.(.*)$", rf"{name}/expand/conv.\1"),
+                    (base + r"0\.1\.(.*)$", rf"{name}/expand/norm.\1"),
+                    (base + r"1\.0\.(.*)$", rf"{name}/dw/conv.\1"),
+                    (base + r"1\.1\.(.*)$", rf"{name}/dw/norm.\1"),
+                    (base + r"2\.(.*)$", rf"{name}/project/conv.\1"),
+                    (base + r"3\.(.*)$", rf"{name}/project/norm.\1"),
+                ]
+            feat += 1
+    if with_last_conv:
+        rules += [
+            (r"^features\.18\.0\.(.*)$", r"last_conv/conv.\1"),
+            (r"^features\.18\.1\.(.*)$", r"last_conv/norm.\1"),
+        ]
+    else:  # detection backbones drop the classifier 1x1 -> 1280
+        rules.append((r"^features\.18\.", None))
+    rules.append((r"^classifier\.", None))
+    return rules
+
+
 def _fc_after_roi_transform(value: np.ndarray) -> np.ndarray:
     """Permute a torch FC weight that consumes flattened pooled RoI features
     from (C, S, S) input ordering to our NHWC (S, S, C) ordering.  The
