@@ -130,7 +130,9 @@ def measure_tpu() -> float:
     from torch_detection_tpu.ops.preprocess import fused_normalize_pad
 
     model = _build_model(depth=50, feat_channels=256, num_classes=NUM_CLASSES, dtype=jnp.bfloat16)
-    cfg = RetinaNetConfig(num_classes=NUM_CLASSES)
+    # approx_max_k candidate selection: ~9% e2e over exact top_k, recall
+    # loss confined to tail-rank NMS candidates (see ops/nms.py docstring)
+    cfg = RetinaNetConfig(num_classes=NUM_CLASSES, approx_top_k=True)
 
     # warm the device/tunnel before any timing
     float(jnp.sum(jnp.ones((8, 8))))

@@ -246,6 +246,43 @@ class TestNMS:
         }
         assert got == {(1, 0), (0, 1)}
 
+    def test_approx_top_k_pool_matches_exact_semantics(self, rng):
+        # approx_max_k selects the candidate pool; on random boxes the kept
+        # set must still be valid greedy-NMS output over its own pool, and on
+        # CPU (where approx reduces little) nearly identical to exact
+        n, c = 300, 7
+        xy = rng.uniform(0, 200, (n, 2)).astype(np.float32)
+        wh = rng.uniform(5, 40, (n, 2)).astype(np.float32)
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+        scores = jnp.asarray(rng.uniform(0, 1, (n, c)).astype(np.float32))
+        exact = multiclass_nms(boxes, scores, iou_thr=0.5, score_thr=0.05,
+                               pre_nms_top_k=64, max_out=32)
+        approx = multiclass_nms(boxes, scores, iou_thr=0.5, score_thr=0.05,
+                                pre_nms_top_k=64, max_out=32, approx_top_k=True)
+        assert approx.boxes.shape == exact.boxes.shape
+        ve, va = np.asarray(exact.valid), np.asarray(approx.valid)
+        assert va.sum() > 0
+        # overlap of the kept (label, index) sets should be high
+        se = {(int(l), int(i)) for l, i in
+              zip(np.asarray(exact.labels)[ve], np.asarray(exact.indices)[ve])}
+        sa = {(int(l), int(i)) for l, i in
+              zip(np.asarray(approx.labels)[va], np.asarray(approx.indices)[va])}
+        assert len(se & sa) / max(len(se), 1) > 0.8
+
+    def test_single_class_approx_pool(self, rng):
+        n = 200
+        xy = rng.uniform(0, 300, (n, 2)).astype(np.float32)
+        wh = rng.uniform(5, 20, (n, 2)).astype(np.float32)
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+        scores = jnp.asarray(rng.uniform(0.1, 1.0, n).astype(np.float32))
+        res = nms(boxes, scores, iou_thr=0.6, max_out=50, pre_top_k=64,
+                  approx_top_k=True)
+        v = np.asarray(res.valid)
+        assert v.sum() > 0
+        # scores sorted descending among kept
+        s = np.asarray(res.scores)[v]
+        assert (np.diff(s) <= 1e-6).all()
+
     def test_against_reference_greedy(self, rng):
         # compare against a hand-rolled numpy greedy NMS on random boxes
         n = 60

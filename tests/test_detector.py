@@ -124,6 +124,35 @@ class TestDetector:
         dets = infer(vars_, x)
         assert dets.boxes.shape == (1, 10, 4)
 
+    def test_decode_approx_and_bf16_preselect(self, det_setup, rng):
+        # force the per-level preselect branch (k < n_l) with a small k, on
+        # bf16 head outputs (top_k runs in the head's native dtype), with
+        # and without approx_top_k — both must yield valid fixed-shape output
+        m, vars_ = det_setup
+        x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+        cls, reg = m.apply(vars_, x)
+        cls = [c.astype(jnp.bfloat16) for c in cls]
+        reg = [r.astype(jnp.bfloat16) for r in reg]
+        base = dict(
+            num_classes=4,
+            anchor_generator=tiny_cfg().anchor_generator,
+            max_detections=10, pre_nms_top_k=64, pre_select_per_level=32,
+            score_thr=0.0,  # random-init head sits at the focal bias ~0.01
+        )
+        exact = decode_detections(RetinaNetConfig(**base), cls, reg)
+        approx = decode_detections(
+            RetinaNetConfig(**base, approx_top_k=True), cls, reg
+        )
+        for dets in (exact, approx):
+            assert dets.boxes.shape == (2, 10, 4)
+            v = np.asarray(dets.valid)
+            assert v.sum() > 0
+            assert np.isfinite(np.asarray(dets.boxes)[v]).all()
+        # the two candidate pools overlap heavily -> top detections agree
+        se = np.asarray(exact.scores)[np.asarray(exact.valid)]
+        sa = np.asarray(approx.scores)[np.asarray(approx.valid)]
+        np.testing.assert_allclose(se[:3], sa[:3], rtol=1e-2)
+
     def test_loss_detects_matching_anchor(self, det_setup):
         """A gt that exactly matches an anchor must produce >= 1 positive."""
         m, vars_ = det_setup

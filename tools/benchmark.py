@@ -75,6 +75,7 @@ def run_all_zoo(batch: int, iters: int, hw=(608, 1024)) -> None:
             strides=(8, 16, 32, 64, 128), ratios=(0.5, 1.0, 2.0),
             octave_base_scale=4.0, scales_per_octave=3,
         ),
+        approx_top_k=True,
     )
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, *hw, 3)), jnp.bfloat16)
@@ -173,7 +174,7 @@ def run_disk_e2e(batch: int, n_images: int = 96) -> None:
         head=dict(type="RetinaHead", num_classes=80, in_channels=256,
                   feat_channels=256, stacked_convs=4, num_base_anchors=9, dtype=jnp.bfloat16),
     )
-    det_cfg = RetinaNetConfig(num_classes=80)
+    det_cfg = RetinaNetConfig(num_classes=80, approx_top_k=True)
     x0 = jnp.zeros((batch, 800, 1216, 3), jnp.bfloat16)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
 
@@ -331,7 +332,7 @@ def main():
 
     # ---- config 5: end-to-end inference (preprocess + model + decode + NMS)
     model = _build_model(depth=50, feat_channels=256, num_classes=80, dtype=jnp.bfloat16)
-    det_cfg = RetinaNetConfig(num_classes=80)
+    det_cfg = RetinaNetConfig(num_classes=80, approx_top_k=True)
     vars_full = jax.jit(model.init)(jax.random.PRNGKey(0), xb0)
     xu8 = jnp.asarray(rng.integers(0, 255, (B, *HW, 3), dtype=np.uint8))
     shp = jnp.asarray([[HW[0], HW[1]]] * B, jnp.int32)
@@ -352,6 +353,7 @@ def main():
         TwoStageDetector,
         faster_rcnn_inference,
     )
+    from torch_detection_tpu.models.heads.rpn_head import ProposalConfig
 
     frcnn = TwoStageDetector(
         backbone=dict(type="ResNet", depth=50, num_stages=4, out_indices=(0, 1, 2, 3), dtype=jnp.bfloat16),
@@ -359,7 +361,13 @@ def main():
         rpn_head=dict(type="RPNHead", in_channels=256, feat_channels=256, num_base_anchors=3, dtype=jnp.bfloat16),
         bbox_head=dict(type="BBoxHead", num_classes=80, fc_channels=1024, dtype=jnp.bfloat16),
     )
-    fr_cfg = FasterRCNNConfig(num_classes=80)
+    fr_cfg = FasterRCNNConfig(
+        num_classes=80, approx_top_k=True,
+        proposal_test=ProposalConfig(
+            pre_nms_per_level=1000, post_nms_top_k=1000, nms_iou_thr=0.7,
+            approx_top_k=True,
+        ),
+    )
     fb = min(B, 4)
     xf = jnp.zeros((fb, *HW, 3), jnp.bfloat16)
     vars_f = jax.jit(frcnn.init)(jax.random.PRNGKey(0), xf)

@@ -76,6 +76,13 @@ class RetinaNetConfig:
     pre_select_per_level: int = 1000  # top anchors per level by max-class score
     pre_nms_top_k: int = 1000  # (box, class) pairs entering NMS
     max_detections: int = 100
+    # Use jax.lax.approx_max_k for the candidate top-ks (preselect + NMS
+    # pool).  ~2.5x faster than exact top_k on TPU for the big levels; the
+    # misses are rank-skewed toward the tail of the top-k (the max is never
+    # lost, rank-r elements are lost with prob ~ r/bins), so NMS candidate
+    # recall at the scores that matter is ~1 and the mAP effect is noise.
+    # Off by default so parity tests match exact-torch candidate sets.
+    approx_top_k: bool = False
 
 
 def _per_image_targets(
@@ -174,16 +181,22 @@ def decode_detections(
     featmap_sizes = [tuple(s.shape[1:3]) for s in cls_scores]
     level_anchors = cfg.anchor_generator.grid_anchors(featmap_sizes)
     b = cls_scores[0].shape[0]
+    top_k_fn = jax.lax.approx_max_k if cfg.approx_top_k else jax.lax.top_k
 
     sel_scores, sel_anchors, sel_regs = [], [], []
     for lvl, (cls_l, reg_l) in enumerate(zip(cls_scores, bbox_preds)):
+        # NOTE: the f32 casts before max/top-k/gather look redundant (bf16
+        # sort keys select the identical set) but are load-bearing: feeding
+        # conv-produced bf16 tensors straight into gather/sort kernels
+        # faults the current TPU runtime when fused into the model graph
+        # (measured: the same decode graph on plain device arrays is fine).
         s = cls_l.reshape(b, -1, cfg.num_classes).astype(jnp.float32)  # (B, Nl, C)
         r = reg_l.reshape(b, -1, 4).astype(jnp.float32)
         n_l = s.shape[1]
         k = min(cfg.pre_select_per_level, n_l)
         if k < n_l:
             best = jnp.max(s, axis=-1)  # (B, Nl)
-            _, idx = jax.lax.top_k(best, k)  # (B, k)
+            _, idx = top_k_fn(best, k)  # (B, k)
             s = jnp.take_along_axis(s, idx[..., None], axis=1)
             r = jnp.take_along_axis(r, idx[..., None], axis=1)
             a = level_anchors[lvl][idx]  # (B, k, 4)
@@ -215,6 +228,7 @@ def decode_detections(
             score_thr=cfg.score_thr,
             pre_nms_top_k=cfg.pre_nms_top_k,
             max_out=cfg.max_detections,
+            approx_top_k=cfg.approx_top_k,
         )
         out_boxes = res.boxes
         if scale_factors is not None:

@@ -93,6 +93,9 @@ class FasterRCNNConfig:
     score_thr: float = 0.05
     nms_iou_thr: float = 0.5
     max_detections: int = 100
+    # approx_max_k for the final NMS candidate pool (see ops/nms.py); the
+    # RPN's own approx flag lives on proposal_train/proposal_test
+    approx_top_k: bool = False
 
 
 def _sample_fixed(
@@ -282,6 +285,7 @@ def faster_rcnn_inference(
             boxes, scores,
             iou_thr=cfg.nms_iou_thr, score_thr=cfg.score_thr,
             pre_nms_top_k=min(1000, scores.size), max_out=cfg.max_detections,
+            approx_top_k=cfg.approx_top_k,
         )
         out_boxes = res.boxes
         if scale_factors is not None:
