@@ -137,14 +137,17 @@ def _prepare_windows(
     crop: int,
     crop_x: Optional[int] = None,
     x_align: int = 1,
+    y_align: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Shared window/weight prep for the fused jnp and Pallas RoIAlign:
     returns (flat pyramid (H_tot, w_max, C), starts (R, 2) int32 incl. the
     level row offset, wy (R, S, crop), wx (R, S, crop_x) bilinear weights).
 
-    ``x_align`` floors the column origin to a multiple (Mosaic requires
-    sublane-aligned offsets when slicing the second-minor dim); pair it with
-    a ``crop_x`` widened by the alignment so coverage is preserved."""
+    ``x_align``/``y_align`` floor the column/row origins to a multiple
+    (Mosaic requires aligned offsets when slicing a tiled dim); pair an
+    alignment with a crop widened by it so coverage is preserved.  With
+    ``y_align`` the per-level row offsets in the flattened pyramid are also
+    rounded up so absolute row starts stay aligned."""
     num_levels = len(feats)
     s = out_size * sampling_ratio
     crop_x = crop_x or crop
@@ -159,6 +162,8 @@ def _prepare_windows(
     for f in feats:
         h_l, w_l = f.shape[:2]
         h_pad = max(h_l, crop)
+        if y_align > 1:
+            h_pad = ((h_pad + y_align - 1) // y_align) * y_align
         padded.append(jnp.pad(f, ((0, h_pad - h_l), (0, w_max - w_l), (0, 0))))
         row_offsets.append(off)
         heights.append(h_l)
@@ -195,6 +200,8 @@ def _prepare_windows(
         return w0 + w1
 
     origin_y = jnp.clip(jnp.floor(ys[:, 0]), 0.0, jnp.maximum(h_arr - crop, 0.0))
+    if y_align > 1:
+        origin_y = jnp.floor(origin_y / y_align) * y_align
     # clamp with the WIDENED x-crop so the aligned window never runs past
     # the padded pyramid width
     origin_x = jnp.clip(jnp.floor(xs[:, 0]), 0.0, jnp.maximum(w_arr - crop_x, 0.0))
@@ -206,6 +213,18 @@ def _prepare_windows(
     row_start = (off_arr + origin_y).astype(jnp.int32)  # (R,)
     col_start = origin_x.astype(jnp.int32)
     return flat, jnp.stack([row_start, col_start], axis=-1), wy, wx
+
+
+def _weight_support(w: jax.Array) -> jax.Array:
+    """Per-roi extent of nonzero interpolation weight: (R, S, width) -> (R,).
+
+    Bilinear weights outside a roi's sampled span are exactly 0 (one-hot
+    construction), so rows/cols beyond the support contribute nothing to the
+    interpolation matmuls — a window DMA may skip them."""
+    width = w.shape[-1]
+    nz = jnp.any(w != 0.0, axis=1)  # (R, width)
+    idx = jnp.arange(1, width + 1, dtype=jnp.int32)
+    return jnp.max(jnp.where(nz, idx, 0), axis=-1)  # (R,)
 
 
 def multilevel_roi_align_fused(

@@ -6,15 +6,38 @@ lowers that to a gather running at ~1/5 of HBM bandwidth and round-trips the
 3 GB of windows through HBM (measured 36 ms for 4x1000 rois @ 256ch on one
 v5e).  This kernel instead:
 
-  * keeps the flattened level pyramid in HBM and DMAs each roi's
-    (crop, crop, C) window straight into VMEM, double-buffered so the next
-    roi's DMA overlaps the current roi's compute (pallas_guide.md
-    "Patterns: Double Buffering");
+  * keeps the flattened level pyramid in HBM **transposed and 2D**:
+    ``(W_tot, H_max*C)`` — each roi's window DMAs straight into VMEM as
+    ``(x_crop, y_crop*C)``, double-buffered so the next group's DMA overlaps
+    the current group's compute (pallas_guide.md "Patterns: Double
+    Buffering").  The layout is the load-bearing trick, twice over:
+      - the window arrives with one spatial axis on sublanes and the other
+        merged with channels on lanes — exactly the operand layout the
+        first interpolation matmul needs.  A naive (crop, crop, C) window
+        needs a full in-kernel relayout before the matmul (measured ~35% of
+        kernel time);
+      - Mosaic requires provably tile-aligned offsets: sublane (x) starts
+        are 8-aligned by construction (``x-as-rows`` + origin alignment in
+        ``_prepare_windows``), and lane (y) starts are ``y*C`` with C a
+        multiple of 128 — both free, where the untransposed layout would
+        need 8-aligned *row* starts that FPN window origins don't have;
   * applies the separable bilinear interpolation as two small MXU matmuls
-    on the VMEM-resident window — the window never touches HBM;
+    on the VMEM-resident window — the window never touches HBM — with the
+    output landing directly in (y, x, C) order (no final transpose);
   * folds the sampling_ratio average-pool into the interpolation weights
     (the 2x2 sub-sample mean of separable products factorizes exactly into
-    per-axis weight means), so the kernel emits (out, out, C) directly.
+    per-axis weight means), so the kernel emits (out, out, C) directly;
+  * groups ``group`` rois per grid step with a block-diagonal weight matrix
+    on the heavy first contraction, raising its matmul M dim from ``out``
+    (7) to ``group*out`` — the off-diagonal zeros waste FLOPs but the
+    systolic array rows were idle anyway;
+  * picks each roi's window DMA shape from a small static set by the roi's
+    actual interpolation-weight support (``multi_crop``): the needed window
+    AREA is ~constant over aspect ratios (FPN band geometry), so
+    rectangular shapes cut DMA bytes ~2x with identical numerics — the
+    weights are exactly zero outside the support, so the skipped scratch
+    region (zero-scrubbed once, then stale finite values) contributes
+    nothing to the matmuls.
 
 The weight/coordinate preparation is plain JAX (cheap, fused by XLA) and is
 shared with the jnp implementation via ``roi_align._prepare_windows``.
@@ -35,19 +58,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-@functools.partial(jax.jit, static_argnames=("crop", "crop_x", "out_size"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("c", "crop_r", "crop_l", "out_size", "shapes", "group"),
+)
 def _roi_window_interp_pallas(
-    flat: jax.Array,  # (H_tot, W_max, C) flattened pyramid
-    starts: jax.Array,  # (R, 2) int32: (row_start, 8-aligned col_start)
-    wy: jax.Array,  # (R, out, crop) pooled y interpolation weights
-    wx: jax.Array,  # (R, out, crop_x)
-    crop: int,
-    crop_x: int,
+    flat2: jax.Array,  # (W_tot, H_max*C): rows = x (8-aligned), lanes = (y, c)
+    starts: jax.Array,  # (R, 3) int32: (x_row_start, y_lane_start, shape_id)
+    w_rows: jax.Array,  # (R//G, G*out, G*crop_r) block-diag x weights
+    w_lanes: jax.Array,  # (R//G, G, out, crop_l) y weights
+    c: int,
+    crop_r: int,  # window rows (x axis), 8-aligned sizes
+    crop_l: int,  # window lane-groups (y axis)
     out_size: int,
+    shapes: tuple,  # static ((rows, lane_groups), ...); starts[:,2] indexes it
+    group: int,
 ) -> jax.Array:  # (R, out, out, C)
     r = starts.shape[0]
-    c = flat.shape[-1]
-    dtype = flat.dtype
+    dtype = flat2.dtype
+    g_n = r // group
 
     # TPU MXU default precision truncates f32 operands to bf16 mantissas;
     # keep f32 inputs exact (bf16 inputs use the native single-pass rate)
@@ -55,60 +84,82 @@ def _roi_window_interp_pallas(
         jax.lax.Precision.HIGHEST if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
     )
 
-    def kernel(starts_ref, flat_ref, wy_ref, wx_ref, out_ref, win, sems):
+    def kernel(starts_ref, flat_ref, wr_ref, wl_ref, out_ref, win, sems):
         i = pl.program_id(0)
 
-        def get_dma(slot, idx):
+        def dma_for(slot, idx, g, h, w):
             r0 = starts_ref[idx, 0]
-            c0 = starts_ref[idx, 1]
+            c0 = starts_ref[idx, 1]  # lane units: y0 * C, C % 128 == 0
             return pltpu.make_async_copy(
-                flat_ref.at[pl.ds(r0, crop), pl.ds(pl.multiple_of(c0, 8), crop_x), :],
-                win.at[slot],
+                flat_ref.at[
+                    pl.ds(pl.multiple_of(r0, 8), h),
+                    pl.ds(pl.multiple_of(c0, c), w * c),
+                ],
+                win.at[slot, pl.ds(g * crop_r, h), pl.ds(0, w * c)],
                 sems.at[slot],
             )
 
+        def issue(slot, step, op):
+            # one static-shape DMA per (roi, shape) branch; weights are
+            # exactly 0 beyond the roi's support rows/lanes, so the skipped
+            # scratch region (zero-scrubbed below, then stale finite values
+            # from earlier rois) contributes nothing to the matmuls
+            for g in range(group):
+                idx = step * group + g
+                sid = starts_ref[idx, 2]
+                for k, (h, w) in enumerate(shapes):
+                    @pl.when(sid == k)
+                    def _(g=g, h=h, w=w):
+                        getattr(dma_for(slot, idx, g, h, w), op)()
+
         @pl.when(i == 0)
         def _():
-            get_dma(0, 0).start()
+            # scrub uninitialized VMEM (could hold NaN bit patterns; NaN*0
+            # would poison the zero-weight region trick)
+            win[...] = jnp.zeros((2, group * crop_r, crop_l * c), dtype)
+            issue(0, 0, "start")
 
         @pl.when(i + 1 < pl.num_programs(0))
         def _():
-            get_dma((i + 1) % 2, i + 1).start()
+            issue((i + 1) % 2, i + 1, "start")
 
-        get_dma(i % 2, i).wait()
-        window = win[i % 2]  # (crop, crop_x, C)
+        issue(i % 2, i, "wait")
+        windows = win[i % 2]  # (G*crop_r, crop_l*C), x on sublanes
 
-        # y-interp: (out, crop) @ (crop, crop_x*C) on the MXU, f32 accumulate
+        # x-interp: (G*out, G*crop_r) @ (G*crop_r, crop_l*C) on the MXU —
+        # the window is already in this layout (no relayout), f32 accumulate
         tmp = jax.lax.dot_general(
-            wy_ref[0],
-            window.reshape(crop, crop_x * c),
+            wr_ref[0],
+            windows,
             (((1,), (0,)), ((), ())),
             precision=precision,
             preferred_element_type=jnp.float32,
-        ).reshape(out_size, crop_x, c).astype(dtype)
-        # x-interp: contract the w axis -> (t, s, c), transpose to (s, t, c)
-        out = jax.lax.dot_general(
-            wx_ref[0],
-            tmp,
-            (((1,), (1,)), ((), ())),
-            precision=precision,
-            preferred_element_type=jnp.float32,
-        )
-        out_ref[0] = jnp.transpose(out, (1, 0, 2)).astype(out_ref.dtype)
+        ).reshape(group * out_size, crop_l, c).astype(dtype)
+        for g in range(group):
+            tmp_g = tmp[g * out_size:(g + 1) * out_size]  # (out_x, crop_l, C)
+            # y-interp: contract the y axis -> (out_y, out_x, C), final order
+            out = jax.lax.dot_general(
+                wl_ref[0, g],
+                tmp_g,
+                (((1,), (1,)), ((), ())),
+                precision=precision,
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[g] = out.astype(out_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(r,),
+        grid=(g_n,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # flat stays in HBM
-            pl.BlockSpec((1, out_size, crop), lambda i, starts: (i, 0, 0)),
-            pl.BlockSpec((1, out_size, crop_x), lambda i, starts: (i, 0, 0)),
+            pl.BlockSpec((1, group * out_size, group * crop_r), lambda i, s: (i, 0, 0)),
+            pl.BlockSpec((1, group, out_size, crop_l), lambda i, s: (i, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, out_size, out_size, c), lambda i, starts: (i, 0, 0, 0)
+            (group, out_size, out_size, c), lambda i, s: (i, 0, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, crop, crop_x, c), dtype),
+            pltpu.VMEM((2, group * crop_r, crop_l * c), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -116,7 +167,7 @@ def _roi_window_interp_pallas(
         kernel,
         out_shape=jax.ShapeDtypeStruct((r, out_size, out_size, c), dtype),
         grid_spec=grid_spec,
-    )(starts, flat, wy, wx)
+    )(starts, flat2, w_rows, w_lanes)
 
 
 def multilevel_roi_align_pallas(
@@ -127,20 +178,68 @@ def multilevel_roi_align_pallas(
     sampling_ratio: int = 2,
     finest_scale: float = 56.0,
     crop: int = 40,
+    multi_crop: bool = True,
+    group: int = 1,
 ) -> jax.Array:
     """Drop-in replacement for ``multilevel_roi_align_fused`` (same exactness
     contract: rois spanning <= crop-1 cells at their routed level)."""
-    from .roi_align import _prepare_windows
+    from .roi_align import _prepare_windows, _weight_support
 
-    # columns 8-aligned for Mosaic's sublane tiling; widen the x-crop so the
-    # aligned window still covers every sampled column
-    crop_x = crop + 8
-    flat, starts, wy, wx = _prepare_windows(
-        feats, rois, strides, out_size, sampling_ratio, finest_scale, crop,
-        crop_x=crop_x, x_align=8,
+    # Transposed prep: feed (W, H, C) features and y/x-swapped rois, so the
+    # prep's "rows" are the image x axis (8-aligned origins + 8-rounded
+    # level offsets via y_align) and its "columns" are the image y axis
+    # (lane offsets y*C are always 128-aligned — no widening needed).
+    crop_r = crop + 8  # x window rows, widened for the 8-alignment
+    crop_l = crop  # y window lane groups
+    featsT = [jnp.swapaxes(f, 0, 1) for f in feats]
+    roisT = rois[:, jnp.array([1, 0, 3, 2])]
+    flat, starts, w_rows, w_lanes = _prepare_windows(
+        featsT, roisT, strides, out_size, sampling_ratio, finest_scale, crop_r,
+        crop_x=crop_l, x_align=1, y_align=8,
     )
-    # fold the sampling_ratio mean-pool into the separable weights
     r = rois.shape[0]
-    wy_p = wy.reshape(r, out_size, sampling_ratio, crop).mean(2).astype(flat.dtype)
-    wx_p = wx.reshape(r, out_size, sampling_ratio, crop_x).mean(2).astype(flat.dtype)
-    return _roi_window_interp_pallas(flat, starts, wy_p, wx_p, crop, crop_x, out_size)
+    c = flat.shape[-1]
+    full = (crop_r, crop_l)
+    if multi_crop:
+        # candidate (rows, lane_groups) window shapes, bytes ascending; row
+        # sizes sublane-aligned.  Every roi falls back to the full window if
+        # nothing smaller fits, so exactness is never traded.
+        cand = [
+            (h, w)
+            for (h, w) in ((24, 32), (32, 24), (32, 32), (40, 40))
+            if h <= crop_r and w <= crop_l and (h, w) != full
+        ]
+        shapes = tuple(sorted(cand, key=lambda s: s[0] * s[1])) + (full,)
+        nr = _weight_support(w_rows)  # (R,)
+        nl = _weight_support(w_lanes)
+        sid = jnp.full((r,), len(shapes) - 1, jnp.int32)
+        for k in range(len(shapes) - 2, -1, -1):
+            h, w = shapes[k]
+            sid = jnp.where((nr <= h) & (nl <= w), jnp.int32(k), sid)
+    else:
+        shapes = (full,)
+        sid = jnp.zeros((r,), jnp.int32)
+    # 2D pyramid layout: (W_tot, H_max, C) -> (W_tot, H_max*C) is a free
+    # bitcast; column starts become lane offsets (multiples of C)
+    flat2 = flat.reshape(flat.shape[0], -1)
+    starts = jnp.stack([starts[:, 0], starts[:, 1] * c, sid], axis=-1)
+
+    # cap the group by the double-buffered window scratch budget (~8 MB of
+    # the ~16 MB VMEM): f32 features halve the usable group
+    bytes_per_roi = 2 * crop_r * crop_l * c * flat.dtype.itemsize
+    while group > 1 and (group * bytes_per_roi > 8 * 2**20 or r % group != 0):
+        group -= 1
+
+    # fold the sampling_ratio mean-pool into the separable weights
+    wr_p = w_rows.reshape(r, out_size, sampling_ratio, crop_r).mean(2).astype(flat.dtype)
+    wl_p = w_lanes.reshape(r, out_size, sampling_ratio, crop_l).mean(2).astype(flat.dtype)
+    # block-diagonal x weights: (R//G, G*out, G*crop_r) (G=1: plain per-roi)
+    wrg = wr_p.reshape(r // group, group, out_size, crop_r)
+    blk = jnp.zeros((r // group, group, out_size, group, crop_r), flat.dtype)
+    for g in range(group):
+        blk = blk.at[:, g, :, g, :].set(wrg[:, g])
+    wr_blk = blk.reshape(r // group, group * out_size, group * crop_r)
+    wl_g = wl_p.reshape(r // group, group, out_size, crop_l)
+    return _roi_window_interp_pallas(
+        flat2, starts, wr_blk, wl_g, c, crop_r, crop_l, out_size, shapes, group
+    )
