@@ -170,6 +170,7 @@ def _roi_window_interp_pallas(
     )(starts, flat2, w_rows, w_lanes)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def multilevel_roi_align_pallas(
     feats: Sequence[jax.Array],  # per level (H_l, W_l, C), one image
     rois: jax.Array,  # (R, 4) image coords
@@ -182,7 +183,15 @@ def multilevel_roi_align_pallas(
     group: int = 1,
 ) -> jax.Array:
     """Drop-in replacement for ``multilevel_roi_align_fused`` (same exactness
-    contract: rois spanning <= crop-1 cells at their routed level)."""
+    contract: rois spanning <= crop-1 cells at their routed level).
+
+    Differentiable: ``pallas_call`` has no autodiff rule, so a custom VJP
+    backs the backward pass with the mathematically-identical fused jnp
+    implementation's transpose (einsum-transpose + window scatter-add) —
+    the two-stage TRAIN step differentiates through RoIAlign into the
+    FPN/backbone.  Roi coordinates get zero gradient (they are
+    stop-gradient proposals in every training config, matching the
+    standard detector contract)."""
     from .roi_align import _prepare_windows, _weight_support
 
     # Transposed prep: feed (W, H, C) features and y/x-swapped rois, so the
@@ -243,3 +252,34 @@ def multilevel_roi_align_pallas(
     return _roi_window_interp_pallas(
         flat2, starts, wr_blk, wl_g, c, crop_r, crop_l, out_size, shapes, group
     )
+
+
+def _pallas_roi_fwd(
+    feats, rois, strides, out_size, sampling_ratio, finest_scale, crop,
+    multi_crop, group,
+):
+    out = multilevel_roi_align_pallas(
+        feats, rois, strides, out_size, sampling_ratio, finest_scale, crop,
+        multi_crop, group,
+    )
+    return out, (list(feats), rois)
+
+
+def _pallas_roi_bwd(
+    strides, out_size, sampling_ratio, finest_scale, crop, multi_crop, group,
+    residuals, g,
+):
+    from .roi_align import multilevel_roi_align_fused
+
+    feats, rois = residuals
+    _, vjp_fn = jax.vjp(
+        lambda fs: multilevel_roi_align_fused(
+            fs, rois, strides, out_size, sampling_ratio, finest_scale, crop
+        ),
+        feats,
+    )
+    (dfeats,) = vjp_fn(g.astype(feats[0].dtype))
+    return dfeats, jnp.zeros_like(rois)
+
+
+multilevel_roi_align_pallas.defvjp(_pallas_roi_fwd, _pallas_roi_bwd)
