@@ -40,6 +40,31 @@ class TestMaskTargets:
         t = mask_targets_for_rois(jnp.asarray(mask), rois, jnp.array([0]), mask_size=8)
         assert float(t.sum()) == 0.0
 
+    def test_pyramid_matches_fullres_crop(self, rng):
+        # the pyramid-routed targets must agree with a direct full-res
+        # bilinear crop+threshold except on boundary cells
+        from torch_detection_tpu.ops.roi_align import roi_align
+
+        h = w = 128
+        masks = np.zeros((2, h, w), np.uint8)
+        masks[0, 20:90, 30:110] = 1  # big blob
+        masks[1, 40:60, 40:64] = 1  # small blob
+        gt = jnp.asarray(masks)
+        rois = jnp.array(
+            [[25.0, 15.0, 115.0, 95.0], [38.0, 38.0, 66.0, 62.0]]
+        )
+        matched = jnp.array([0, 1])
+        got = mask_targets_for_rois(gt, rois, matched, mask_size=14)
+
+        def direct(roi, m):
+            s = roi_align(m[..., None].astype(jnp.float32), roi[None], 1.0,
+                          out_size=14, sampling_ratio=2)[0, ..., 0]
+            return (s >= 0.5).astype(jnp.float32)
+
+        want = jax.vmap(direct)(rois, gt[matched])
+        agree = float((got == want).mean())
+        assert agree > 0.93, f"pyramid/full-res agreement {agree}"
+
 
 class TestMaskLoss:
     def test_perfect_prediction_low_loss(self):
