@@ -192,12 +192,41 @@ def multilevel_roi_align_pallas(
     FPN/backbone.  Roi coordinates get zero gradient (they are
     stop-gradient proposals in every training config, matching the
     standard detector contract)."""
+    flat2, starts, wr_p, wl_p, shapes, crop_r, crop_l, c = _transposed_prep(
+        feats, rois, strides, out_size, sampling_ratio, finest_scale, crop,
+        multi_crop,
+    )
+    r = rois.shape[0]
+
+    # cap the group by the double-buffered window scratch budget (~8 MB of
+    # the ~16 MB VMEM): f32 features halve the usable group
+    bytes_per_roi = 2 * crop_r * crop_l * c * flat2.dtype.itemsize
+    while group > 1 and (group * bytes_per_roi > 8 * 2**20 or r % group != 0):
+        group -= 1
+    # block-diagonal x weights: (R//G, G*out, G*crop_r) (G=1: plain per-roi)
+    wrg = wr_p.reshape(r // group, group, out_size, crop_r)
+    blk = jnp.zeros((r // group, group, out_size, group, crop_r), flat2.dtype)
+    for g in range(group):
+        blk = blk.at[:, g, :, g, :].set(wrg[:, g])
+    wr_blk = blk.reshape(r // group, group * out_size, group * crop_r)
+    wl_g = wl_p.reshape(r // group, group, out_size, crop_l)
+    return _roi_window_interp_pallas(
+        flat2, starts, wr_blk, wl_g, c, crop_r, crop_l, out_size, shapes, group
+    )
+
+
+def _transposed_prep(
+    feats, rois, strides, out_size, sampling_ratio, finest_scale, crop,
+    multi_crop,
+):
+    """Shared fwd/bwd prep: transposed 2D pyramid + starts + pooled weights.
+
+    Transposed: feed (W, H, C) features and y/x-swapped rois, so the prep's
+    "rows" are the image x axis (8-aligned origins + 8-rounded level offsets
+    via y_align) and its "columns" are the image y axis (lane offsets y*C
+    are always 128-aligned — no widening needed)."""
     from .roi_align import _prepare_windows, _weight_support
 
-    # Transposed prep: feed (W, H, C) features and y/x-swapped rois, so the
-    # prep's "rows" are the image x axis (8-aligned origins + 8-rounded
-    # level offsets via y_align) and its "columns" are the image y axis
-    # (lane offsets y*C are always 128-aligned — no widening needed).
     crop_r = crop + 8  # x window rows, widened for the 8-alignment
     crop_l = crop  # y window lane groups
     featsT = [jnp.swapaxes(f, 0, 1) for f in feats]
@@ -233,25 +262,25 @@ def multilevel_roi_align_pallas(
     flat2 = flat.reshape(flat.shape[0], -1)
     starts = jnp.stack([starts[:, 0], starts[:, 1] * c, sid], axis=-1)
 
-    # cap the group by the double-buffered window scratch budget (~8 MB of
-    # the ~16 MB VMEM): f32 features halve the usable group
-    bytes_per_roi = 2 * crop_r * crop_l * c * flat.dtype.itemsize
-    while group > 1 and (group * bytes_per_roi > 8 * 2**20 or r % group != 0):
-        group -= 1
-
     # fold the sampling_ratio mean-pool into the separable weights
     wr_p = w_rows.reshape(r, out_size, sampling_ratio, crop_r).mean(2).astype(flat.dtype)
     wl_p = w_lanes.reshape(r, out_size, sampling_ratio, crop_l).mean(2).astype(flat.dtype)
-    # block-diagonal x weights: (R//G, G*out, G*crop_r) (G=1: plain per-roi)
-    wrg = wr_p.reshape(r // group, group, out_size, crop_r)
-    blk = jnp.zeros((r // group, group, out_size, group, crop_r), flat.dtype)
-    for g in range(group):
-        blk = blk.at[:, g, :, g, :].set(wrg[:, g])
-    wr_blk = blk.reshape(r // group, group * out_size, group * crop_r)
-    wl_g = wl_p.reshape(r // group, group, out_size, crop_l)
-    return _roi_window_interp_pallas(
-        flat2, starts, wr_blk, wl_g, c, crop_r, crop_l, out_size, shapes, group
-    )
+    return flat2, starts, wr_p, wl_p, shapes, crop_r, crop_l, c
+
+
+def _transposed_level_offsets(feats, crop_r):
+    """Static per-level (row_offset, W_l, H_l) in the transposed pyramid,
+    mirroring _prepare_windows' padding rules (rows padded to >= crop_r and
+    rounded to 8 via y_align)."""
+    offs = []
+    off = 0
+    for f in feats:
+        h_l, w_l = f.shape[:2]
+        rows = max(w_l, crop_r)  # transposed: rows = W_l
+        rows = ((rows + 7) // 8) * 8
+        offs.append((off, w_l, h_l))
+        off += rows
+    return offs, off
 
 
 def _pallas_roi_fwd(
@@ -265,20 +294,163 @@ def _pallas_roi_fwd(
     return out, (list(feats), rois)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("c", "crop_r", "crop_l", "out_size", "shapes"),
+)
+def _roi_window_bwd_pallas(
+    dflat0: jax.Array,  # (W_tot, H_max*C) zeros, donated as the accumulator
+    starts: jax.Array,  # (R, 3) int32: (x_row_start, y_lane_start, shape_id)
+    g: jax.Array,  # (R, out, out, C) output cotangent [ty, tx, c]
+    wr: jax.Array,  # (R, out, crop_r) pooled x weights
+    wl: jax.Array,  # (R, out, crop_l) pooled y weights
+    c: int,
+    crop_r: int,
+    crop_l: int,
+    out_size: int,
+    shapes: tuple,
+) -> jax.Array:  # accumulated (W_tot, H_max*C)
+    """Transpose of the forward window kernel: per-roi window cotangent
+    dwin = Wr^T @ (sum_ty wl[ty] (x) g[ty]) lands directly in the flat2
+    window layout, then a serialized read-modify-write DMA accumulates it
+    into the pyramid.  The sequential TPU grid makes the RMW race-free
+    (overlapping roi windows are common); the current roi's dwin compute
+    overlaps the previous roi's write-back DMA.  ~3.4x over the fused jnp
+    VJP (51 -> 15 ms of a b4 Faster R-CNN train step)."""
+    r = starts.shape[0]
+    dtype = dflat0.dtype
+    precision = (
+        jax.lax.Precision.HIGHEST if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+
+    def kernel(starts_ref, flat_ref, g_ref, wr_ref, wl_ref, out_ref, win, sems):
+        i = pl.program_id(0)
+
+        def rd(idx, h, w):
+            r0 = starts_ref[idx, 0]
+            c0 = starts_ref[idx, 1]
+            return pltpu.make_async_copy(
+                out_ref.at[
+                    pl.ds(pl.multiple_of(r0, 8), h),
+                    pl.ds(pl.multiple_of(c0, c), w * c),
+                ],
+                win.at[pl.ds(0, h), pl.ds(0, w * c)],
+                sems.at[0],
+            )
+
+        def wrb(idx, h, w):
+            r0 = starts_ref[idx, 0]
+            c0 = starts_ref[idx, 1]
+            return pltpu.make_async_copy(
+                win.at[pl.ds(0, h), pl.ds(0, w * c)],
+                out_ref.at[
+                    pl.ds(pl.multiple_of(r0, 8), h),
+                    pl.ds(pl.multiple_of(c0, c), w * c),
+                ],
+                sems.at[1],
+            )
+
+        def branched(idx, fn):
+            sid = starts_ref[idx, 2]
+            for k, (h, w) in enumerate(shapes):
+                @pl.when(sid == k)
+                def _(h=h, w=w):
+                    fn(h, w)
+
+        # dwin = Wr^T @ dtmp, dtmp[tx, (l, c)] = sum_ty wl[ty, l] * g[ty, tx, c]
+        # (computed before the RMW waits so it overlaps the previous write)
+        # (cast to f32 BEFORE the broadcasts: Mosaic only supports
+        # non-no-op minor-dim insertion for 32-bit types)
+        gblk = g_ref[0].astype(jnp.float32)  # (out_y, out_x, C)
+        wl_r = wl_ref[0].astype(jnp.float32)  # (out_y, crop_l)
+        dtmp = jnp.zeros((out_size, crop_l, c), jnp.float32)
+        for ty in range(out_size):
+            dtmp = dtmp + wl_r[ty][None, :, None] * gblk[ty][:, None, :]
+        dwin = jax.lax.dot_general(
+            wr_ref[0],  # (out_x, crop_r)
+            dtmp.reshape(out_size, crop_l * c).astype(dtype),
+            (((0,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)  # (crop_r, crop_l*C) — the flat2 window layout
+
+        @pl.when(i > 0)
+        def _():
+            branched(i - 1, lambda h, w: wrb(i - 1, h, w).wait())
+
+        branched(i, lambda h, w: rd(i, h, w).start())
+        branched(i, lambda h, w: rd(i, h, w).wait())
+
+        def add_and_write(h, w):
+            win[pl.ds(0, h), pl.ds(0, w * c)] += dwin[:h, : w * c]
+            wrb(i, h, w).start()
+
+        branched(i, add_and_write)
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            branched(i, lambda h, w: wrb(i, h, w).wait())
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),  # the donated accumulator
+            pl.BlockSpec((1, out_size, out_size, c), lambda i, s: (i, 0, 0, 0)),
+            pl.BlockSpec((1, out_size, crop_r), lambda i, s: (i, 0, 0)),
+            pl.BlockSpec((1, out_size, crop_l), lambda i, s: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((crop_r, crop_l * c), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(dflat0.shape, dtype),
+        grid_spec=grid_spec,
+        input_output_aliases={1: 0},  # dflat0 (after the scalar operand) -> out
+    )(starts, dflat0, g, wr, wl)
+
+
 def _pallas_roi_bwd(
     strides, out_size, sampling_ratio, finest_scale, crop, multi_crop, group,
     residuals, g,
 ):
-    from .roi_align import multilevel_roi_align_fused
-
     feats, rois = residuals
-    _, vjp_fn = jax.vjp(
-        lambda fs: multilevel_roi_align_fused(
-            fs, rois, strides, out_size, sampling_ratio, finest_scale, crop
-        ),
-        feats,
+
+    if jax.devices()[0].platform != "tpu":
+        # safety net: off-TPU (e.g. a CPU trace of the custom_vjp) use the
+        # fused jnp implementation's VJP
+        from .roi_align import multilevel_roi_align_fused
+
+        _, vjp_fn = jax.vjp(
+            lambda fs: multilevel_roi_align_fused(
+                fs, rois, strides, out_size, sampling_ratio, finest_scale, crop
+            ),
+            feats,
+        )
+        (dfeats,) = vjp_fn(g.astype(feats[0].dtype))
+        return dfeats, jnp.zeros_like(rois)
+
+    flat2, starts, wr_p, wl_p, shapes, crop_r, crop_l, c = _transposed_prep(
+        feats, rois, strides, out_size, sampling_ratio, finest_scale, crop,
+        multi_crop,
     )
-    (dfeats,) = vjp_fn(g.astype(feats[0].dtype))
+    dflat0 = jnp.zeros(flat2.shape, flat2.dtype)
+    dflat2 = _roi_window_bwd_pallas(
+        dflat0, starts, g.astype(flat2.dtype), wr_p, wl_p,
+        c, crop_r, crop_l, out_size, shapes,
+    )
+    # unflatten: (W_tot, H_max*C) -> per-level (H_l, W_l, C) cotangents
+    offs, _ = _transposed_level_offsets(feats, crop_r)
+    w_max = max(max(f.shape[0] for f in feats), crop_r, crop_l)
+    dflatT = dflat2.reshape(dflat2.shape[0], w_max, c)
+    dfeats = [
+        jnp.swapaxes(dflatT[off:off + w_l, :h_l, :], 0, 1).astype(f.dtype)
+        for (off, w_l, h_l), f in zip(offs, feats)
+    ]
     return dfeats, jnp.zeros_like(rois)
 
 
