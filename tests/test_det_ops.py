@@ -320,6 +320,30 @@ class TestNMS:
 
 
 class TestLosses:
+    def test_sparse_focal_matches_dense_values_and_grads(self, rng):
+        from torch_detection_tpu.ops.losses import sigmoid_focal_loss_sparse
+
+        n, c = 200, 11
+        logits = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+        label0 = jnp.asarray(rng.integers(-1, c, n), jnp.int32)  # -1 = bg
+        onehot = jax.nn.one_hot(jnp.clip(label0, 0, c - 1), c) * (label0 >= 0)[:, None]
+        w = jnp.asarray((rng.uniform(size=n) > 0.2).astype(np.float32))[:, None]
+        af = jnp.float32(17.0)
+
+        def dense(x):
+            return sigmoid_focal_loss(x, onehot, weight=w, gamma=2.0, alpha=0.25, avg_factor=af)
+
+        def sparse(x):
+            return sigmoid_focal_loss_sparse(x, label0, weight=w, gamma=2.0, alpha=0.25, avg_factor=af)
+
+        np.testing.assert_allclose(float(dense(logits)), float(sparse(logits)), rtol=1e-6)
+        gd = jax.grad(dense)(logits)
+        gs = jax.grad(sparse)(logits)  # analytic custom_vjp
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(gs), rtol=2e-5, atol=1e-7)
+        # bf16 logits path: grads returned in bf16, close to the f32 ones
+        gsb = jax.grad(lambda x: sparse(x.astype(jnp.bfloat16)))(logits)
+        np.testing.assert_allclose(np.asarray(gsb), np.asarray(gd), rtol=0.05, atol=3e-3)
+
     def test_focal_loss_matches_manual(self):
         logits = jnp.array([[2.0, -1.0]])
         targets = jnp.array([[1.0, 0.0]])

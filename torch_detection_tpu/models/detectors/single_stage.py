@@ -25,7 +25,7 @@ from flax import linen as nn
 from ...ops.anchors import AnchorGenerator
 from ...ops.assign import MaxIoUAssigner
 from ...ops.boxes import bbox2delta, delta2bbox
-from ...ops.losses import sigmoid_focal_loss, smooth_l1_loss
+from ...ops.losses import sigmoid_focal_loss_sparse, smooth_l1_loss
 from ...ops.nms import NMSResult, multiclass_nms
 from ...utils.registry import BACKBONES, DETECTORS, HEADS, NECKS
 from ..heads.anchor_head import flatten_head_outputs
@@ -99,11 +99,12 @@ def _per_image_targets(
     safe_gt = jnp.clip(assign.assigned_gt_inds - 1, 0, gt_boxes.shape[0] - 1)
     matched_gt = gt_boxes[safe_gt]
     reg_targets = bbox2delta(anchors, matched_gt, cfg.target_means, cfg.target_stds)
-    # one-hot cls targets over foreground classes; labels are 1-based
-    # (0 = background) in the dataset contract, so subtract 1.
-    cls_onehot = jax.nn.one_hot(assign.labels - 1, cfg.num_classes, dtype=jnp.float32)
-    cls_onehot = cls_onehot * pos[:, None]
-    return pos, neg, cls_onehot, reg_targets
+    # sparse cls targets: 0-based foreground class for positives, -1 for the
+    # rest (labels are 1-based with 0 = background in the dataset contract).
+    # Kept sparse so the focal loss never materializes an (N, C) one-hot —
+    # see ops/losses.py _focal_sparse_elem.
+    label0 = jnp.where(pos, assign.labels - 1, -1).astype(jnp.int32)
+    return pos, neg, label0, reg_targets
 
 
 def retina_loss(
@@ -119,7 +120,10 @@ def retina_loss(
     featmap_sizes = [tuple(s.shape[1:3]) for s in cls_scores]
     anchors = cfg.anchor_generator.flat_anchors(featmap_sizes)  # (N, 4)
     flat_cls, flat_reg = flatten_head_outputs(cls_scores, bbox_preds, cfg.num_classes)
-    flat_cls = flat_cls.astype(jnp.float32)
+    # flat_cls stays in the head's dtype (bf16): the sparse focal loss casts
+    # elementwise inside its fused kernel, so the (B, N, C) f32 copy is
+    # never materialized (it and its AD residuals were ~2 GB of HBM traffic
+    # per COCO-scale step)
     flat_reg = flat_reg.astype(jnp.float32)
 
     if img_shapes is None:
@@ -138,7 +142,7 @@ def retina_loss(
         )
         num_pos = jnp.sum(pos)
         cls_weight = (pos | neg)[:, None].astype(jnp.float32)
-        cls_loss = sigmoid_focal_loss(
+        cls_loss = sigmoid_focal_loss_sparse(
             flat_cls[i], cls_t, weight=cls_weight,
             gamma=cfg.focal_gamma, alpha=cfg.focal_alpha, avg_factor=num_pos,
         )

@@ -12,6 +12,7 @@ fixed-shape (padding rows get weight 0).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -47,6 +48,72 @@ def sigmoid_focal_loss(
 def optax_sigmoid_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Numerically-stable elementwise sigmoid cross-entropy."""
     return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def _focal_elem_f32(x: jnp.ndarray, t: jnp.ndarray, gamma: float, alpha: float) -> jnp.ndarray:
+    p = jax.nn.sigmoid(x)
+    ce = jnp.maximum(x, 0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    p_t = p * t + (1 - p) * (1 - t)
+    alpha_t = alpha * t + (1 - alpha) * (1 - t)
+    return alpha_t * (1 - p_t) ** gamma * ce
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _focal_sparse_elem(
+    logits: jnp.ndarray,  # (..., C) any float dtype
+    label0: jnp.ndarray,  # (...,) int32 0-based fg class, -1 = all-negative row
+    gamma: float,
+    alpha: float,
+) -> jnp.ndarray:
+    """Elementwise focal loss with the one-hot target built in-kernel.
+
+    The dense formulation's AD saves several (N, C) f32 residuals (p, ce,
+    p_t) plus the materialized one-hot — ~2 GB of HBM round-trips per
+    RetinaNet train step at COCO scale.  Here both passes are a single
+    fused elementwise kernel over the (bf16) logits with the target
+    recomputed from the integer label, and the backward is the analytic
+    derivative — residuals are just (logits, label0)."""
+    t = (label0[..., None] == jax.lax.broadcasted_iota(
+        jnp.int32, logits.shape, logits.ndim - 1)).astype(jnp.float32)
+    return _focal_elem_f32(logits.astype(jnp.float32), t, gamma, alpha)
+
+
+def _focal_sparse_fwd(logits, label0, gamma, alpha):
+    return _focal_sparse_elem(logits, label0, gamma, alpha), (logits, label0)
+
+
+def _focal_sparse_bwd(gamma, alpha, res, g):
+    logits, label0 = res
+    x = logits.astype(jnp.float32)
+    t = (label0[..., None] == jax.lax.broadcasted_iota(
+        jnp.int32, logits.shape, logits.ndim - 1)).astype(jnp.float32)
+    p = jax.nn.sigmoid(x)
+    ce = jnp.maximum(x, 0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    p_t = p * t + (1 - p) * (1 - t)
+    alpha_t = alpha * t + (1 - alpha) * (1 - t)
+    one_m = 1 - p_t
+    # dL/dx = alpha_t [ -gamma (1-p_t)^(g-1) p(1-p)(2t-1) ce + (1-p_t)^g (p - t) ]
+    dldx = alpha_t * (
+        -gamma * one_m ** (gamma - 1) * p * (1 - p) * (2 * t - 1) * ce
+        + one_m ** gamma * (p - t)
+    )
+    return ((g * dldx).astype(logits.dtype), None)
+
+
+_focal_sparse_elem.defvjp(_focal_sparse_fwd, _focal_sparse_bwd)
+
+
+def sigmoid_focal_loss_sparse(
+    logits: jnp.ndarray,  # (..., C)
+    label0: jnp.ndarray,  # (...,) int32 0-based fg class, -1 = background row
+    weight: Optional[jnp.ndarray] = None,
+    gamma: float = 2.0,
+    alpha: float = 0.25,
+    avg_factor: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Focal loss from integer labels (see ``_focal_sparse_elem``); numerics
+    identical to ``sigmoid_focal_loss`` on the equivalent one-hot."""
+    return _reduce(_focal_sparse_elem(logits, label0, gamma, alpha), weight, avg_factor)
 
 
 def smooth_l1_loss(
