@@ -1,4 +1,5 @@
 from .checkpoint import latest_checkpoint, load_checkpoint, load_checkpoint_file, save_checkpoint
+from .export import export_serving, load_serving, make_serving_fn, save_serving
 from .eval import detections_from_nms, eval_coco_map, eval_voc_map
 from .profiling import ThroughputMeter, annotate, trace
 from .trainer import Trainer, detection_lr_schedule

@@ -1,0 +1,135 @@
+"""Serving export: package a detector as a serialized StableHLO artifact.
+
+Production-deployment tier (the reference has no serving story at all —
+``models/__init__.py`` empty, no CLIs; SURVEY.md §2 #33).  The exported
+artifact is a self-contained ``jax.export`` module: weights are baked in as
+constants, the calling convention is fixed-shape
+``(image_u8 (B, H, W, 3), img_shape (B, 2) i32, scale_factor (B,) f32)`` →
+``{"boxes", "scores", "labels", "valid"[, "mask_probs"]}``, and it can be
+loaded and invoked from any JAX process (same jaxlib ABI) with
+``load_serving`` — no framework code needed at serving time.
+
+The graph is the full production path: uint8 wire → on-device normalize +
+pad-mask (Pallas on TPU, fused jnp elsewhere) → backbone/FPN/heads →
+decode → class-wise NMS, one XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_MEAN = (123.675, 116.28, 103.53)
+DEFAULT_STD = (58.395, 57.12, 57.375)
+
+
+def _normalize_pad(images_u8, img_shapes, mean, std, out_dtype):
+    """uint8 canvas -> normalized ``out_dtype`` with zeroed padding."""
+    if jax.devices()[0].platform == "tpu":
+        from ..ops.preprocess import fused_normalize_pad
+
+        return fused_normalize_pad(
+            images_u8, img_shapes, mean=mean, std=std, out_dtype=out_dtype
+        )
+    x = (images_u8.astype(jnp.float32) - jnp.asarray(mean, jnp.float32)) / jnp.asarray(
+        std, jnp.float32
+    )
+    h, w = images_u8.shape[1:3]
+    rows = jnp.arange(h)[None, :, None, None] < img_shapes[:, 0][:, None, None, None]
+    cols = jnp.arange(w)[None, None, :, None] < img_shapes[:, 1][:, None, None, None]
+    return jnp.where(rows & cols, x, 0.0).astype(out_dtype)
+
+
+def make_serving_fn(
+    model,
+    det_cfg,
+    variables,
+    mean: Tuple[float, ...] = DEFAULT_MEAN,
+    std: Tuple[float, ...] = DEFAULT_STD,
+    compute_dtype=jnp.bfloat16,
+) -> Callable:
+    """Closed-over-weights inference callable (u8 canvas -> detections)."""
+    from ..models.detectors import (
+        FasterRCNNConfig,
+        MaskRCNN,
+        decode_detections,
+        faster_rcnn_inference,
+        mask_rcnn_inference,
+    )
+
+    is_two_stage = isinstance(det_cfg, FasterRCNNConfig)
+    is_mask = isinstance(model, MaskRCNN)
+
+    def serve(image_u8, img_shape, scale_factor):
+        x = _normalize_pad(image_u8, img_shape, mean, std, compute_dtype)
+        shapes_f = img_shape.astype(jnp.float32)
+        if is_mask:
+            d = mask_rcnn_inference(
+                det_cfg, model, variables, x,
+                img_shapes=shapes_f, scale_factors=scale_factor,
+            )
+            return {
+                "boxes": d.boxes, "scores": d.scores, "labels": d.labels,
+                "valid": d.valid, "mask_probs": d.mask_probs,
+            }
+        if is_two_stage:
+            d = faster_rcnn_inference(
+                det_cfg, model, variables, x,
+                img_shapes=shapes_f, scale_factors=scale_factor,
+            )
+        else:
+            cls, reg = model.apply(variables, x)
+            d = decode_detections(
+                det_cfg, cls, reg, img_shapes=shapes_f, scale_factors=scale_factor
+            )
+        return {
+            "boxes": d.boxes, "scores": d.scores,
+            "labels": d.labels, "valid": d.valid,
+        }
+
+    return serve
+
+
+def export_serving(
+    model,
+    det_cfg,
+    variables,
+    batch: int,
+    canvas: Tuple[int, int],
+    mean: Tuple[float, ...] = DEFAULT_MEAN,
+    std: Tuple[float, ...] = DEFAULT_STD,
+    compute_dtype=jnp.bfloat16,
+):
+    """Lower + export the serving function for the current platform.
+
+    Returns a ``jax.export.Exported``; ``.serialize()`` gives the portable
+    artifact bytes.
+    """
+    serve = make_serving_fn(model, det_cfg, variables, mean, std, compute_dtype)
+    specs = (
+        jax.ShapeDtypeStruct((batch, canvas[0], canvas[1], 3), jnp.uint8),
+        jax.ShapeDtypeStruct((batch, 2), jnp.int32),
+        jax.ShapeDtypeStruct((batch,), jnp.float32),
+    )
+    return jax.export.export(jax.jit(serve))(*specs)
+
+
+def save_serving(exported, path: str) -> None:
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+
+
+def load_serving(path: str) -> Callable:
+    """Load a serialized artifact -> callable(image_u8, img_shape, scale)."""
+    with open(path, "rb") as f:
+        exported = jax.export.deserialize(bytearray(f.read()))
+
+    def call(image_u8, img_shape, scale_factor):
+        return exported.call(
+            jnp.asarray(image_u8), jnp.asarray(img_shape), jnp.asarray(scale_factor)
+        )
+
+    return call
