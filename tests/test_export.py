@@ -18,6 +18,8 @@ from torch_detection_tpu.engine.export import (
 )
 from torch_detection_tpu.models.detectors import (
     FasterRCNNConfig,
+    MaskRCNN,
+    MaskRCNNConfig,
     RetinaNetConfig,
     SingleStageDetector,
     TwoStageDetector,
@@ -75,6 +77,47 @@ class TestServingExport:
             )
         # something must actually be detected with score_thr=0
         assert np.asarray(served["valid"]).sum() > 0
+
+    def test_mask_rcnn_roundtrip(self, tmp_path, rng):
+        model = MaskRCNN(
+            backbone=dict(type="ResNet", depth=18, num_stages=4, out_indices=(0, 1, 2, 3)),
+            neck=dict(type="FPN", in_channels=(64, 128, 256, 512), out_channels=32, num_outs=5),
+            rpn_head=dict(type="RPNHead", in_channels=32, feat_channels=32, num_base_anchors=3),
+            bbox_head=dict(type="BBoxHead", num_classes=4, fc_channels=64),
+            mask_head=dict(type="FCNMaskHead", num_classes=4, in_channels=32,
+                           conv_channels=16, num_convs=1),
+        )
+        cfg = MaskRCNNConfig(
+            num_classes=4, max_detections=8, score_thr=0.0,
+            mask_roi_size=7, mask_size=14,
+        )
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        vars_roi = model.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 8, 7, 7, 32), jnp.float32),
+            method=MaskRCNN.roi_forward,
+        )
+        vars_mask = model.init(
+            jax.random.PRNGKey(2), jnp.zeros((1, 8, 7, 7, 32), jnp.float32),
+            method=MaskRCNN.mask_forward,
+        )
+        variables = {
+            "params": {**variables["params"], **vars_roi["params"], **vars_mask["params"]},
+            "batch_stats": variables.get("batch_stats", {}),
+        }
+        exported = export_serving(
+            model, cfg, variables, batch=1, canvas=(64, 64),
+            compute_dtype=jnp.float32,
+        )
+        path = os.path.join(tmp_path, "mask.jaxexp")
+        save_serving(exported, path)
+        img = rng.integers(0, 255, (1, 64, 64, 3)).astype(np.uint8)
+        served = load_serving(path)(
+            img, np.asarray([[64, 64]], np.int32), np.ones((1,), np.float32)
+        )
+        assert set(served) == {"boxes", "scores", "labels", "valid", "mask_probs"}
+        assert served["mask_probs"].shape == (1, 8, 14, 14)
+        assert np.isfinite(np.asarray(served["mask_probs"])).all()
 
     def test_two_stage_roundtrip(self, tmp_path, rng):
         model = TwoStageDetector(
