@@ -389,6 +389,35 @@ def main():
     dt = timed(cfg6, args.iters)
     results.append({"config": "6: Faster R-CNN e2e inference", "images_per_sec": round(fb / dt, 2)})
 
+    # ---- bonus: SSD300-VGG16 e2e (the classic consumer of the VGG backbone)
+    from torch_detection_tpu.builder import build_detector
+    from torch_detection_tpu.models.detectors import SSDConfig, decode_ssd
+
+    ssd = build_detector(dict(
+        type="SingleStageDetector",
+        backbone=dict(type="SSDVGG", depth=16),
+        neck=None,
+        head=dict(type="SSDHead", num_classes=80,
+                  in_channels=(512, 1024, 512, 256, 256, 256),
+                  anchors_per_level=(4, 6, 6, 6, 4, 4)),
+    ), compute_dtype="bfloat16")
+    ssd_cfg = SSDConfig(num_classes=80, approx_top_k=True)
+    sb = max(B, 32)
+    xs0 = jnp.zeros((sb, 300, 300, 3), jnp.bfloat16)
+    vars_s = jax.jit(ssd.init)(jax.random.PRNGKey(0), xs0)
+    xsu8 = jnp.asarray(rng.integers(0, 255, (sb, 300, 300, 3), dtype=np.uint8))
+    shp_s = jnp.asarray([[300, 300]] * sb, jnp.int32)
+
+    @jax.jit
+    def cfg7(acc):
+        x = fused_normalize_pad(xsu8, shp_s, out_dtype=jnp.bfloat16)
+        cls, reg = ssd.apply(vars_s, x)
+        d = decode_ssd(ssd_cfg, cls, reg)
+        return acc + jnp.sum(d.scores)
+
+    dt = timed(cfg7, args.iters)
+    results.append({"config": "7: SSD300-VGG16 e2e inference", "images_per_sec": round(sb / dt, 2)})
+
     for r in results:
         print(json.dumps(r))
 

@@ -123,11 +123,14 @@ def main() -> None:
             )
 
     else:
+        from torch_detection_tpu.models.detectors import SSDConfig, decode_ssd
+
+        decode_fn = decode_ssd if isinstance(det_cfg, SSDConfig) else decode_detections
 
         @jax.jit
         def infer(variables, image, img_shape, scale_factor):
             cls, reg = model.apply(variables, image)
-            return decode_detections(
+            return decode_fn(
                 det_cfg, cls, reg, img_shapes=img_shape, scale_factors=scale_factor
             )
 

@@ -67,6 +67,28 @@ def build_detection_cfg(det_cfg: Dict[str, Any]):
                 kwargs[key] = tuple(v) if isinstance(v, list) else v
         return cls(**kwargs)
 
+    if style == "ssd":
+        from .models.detectors import SSDConfig
+        from .ops.anchors import SSDAnchorGenerator
+
+        kwargs = {}
+        if anchor:
+            kwargs["anchor_generator"] = SSDAnchorGenerator(
+                strides=tuple(anchor["strides"]),
+                min_sizes=tuple(anchor["min_sizes"]),
+                max_sizes=tuple(anchor["max_sizes"]),
+                ratios=tuple(tuple(r) for r in anchor["ratios"]),
+            )
+        if assigner:
+            kwargs["assigner"] = MaxIoUAssigner(**assigner)
+        for key in ("num_classes", "target_means", "target_stds", "neg_pos_ratio",
+                    "smooth_l1_beta", "score_thr", "nms_iou_thr",
+                    "pre_nms_top_k", "max_detections"):
+            if key in cfg:
+                v = cfg[key]
+                kwargs[key] = tuple(v) if isinstance(v, list) else v
+        return SSDConfig(**kwargs)
+
     kwargs = {}
     if anchor:
         kwargs["anchor_generator"] = _build_anchor_generator(anchor)
@@ -118,6 +140,25 @@ def build_loss_fn(model, det_cfg, rng_seed: int = 0):
             losses = faster_rcnn_loss(det_cfg, model, variables, batch, _step_rng(step))
             aux = {k: v for k, v in losses.items() if k != "loss"}
             return losses["loss"], aux
+
+        return loss_fn
+
+    from .models.detectors import SSDConfig, ssd_loss
+
+    if isinstance(det_cfg, SSDConfig):
+        def loss_fn(params, batch_stats, batch):
+            cls, reg = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch["image"], train=True
+            )
+            losses = ssd_loss(
+                det_cfg, cls, reg, batch["gt_boxes"], batch["gt_labels"],
+                batch["gt_valid"],
+            )
+            return losses["loss"], {
+                "loss_cls": losses["loss_cls"],
+                "loss_reg": losses["loss_reg"],
+                "num_pos": losses["num_pos"],
+            }
 
         return loss_fn
 

@@ -55,13 +55,16 @@ def make_serving_fn(
     from ..models.detectors import (
         FasterRCNNConfig,
         MaskRCNN,
+        SSDConfig,
         decode_detections,
+        decode_ssd,
         faster_rcnn_inference,
         mask_rcnn_inference,
     )
 
     is_two_stage = isinstance(det_cfg, FasterRCNNConfig)
     is_mask = isinstance(model, MaskRCNN)
+    is_ssd = isinstance(det_cfg, SSDConfig)
 
     def serve(image_u8, img_shape, scale_factor):
         x = _normalize_pad(image_u8, img_shape, mean, std, compute_dtype)
@@ -79,6 +82,11 @@ def make_serving_fn(
             d = faster_rcnn_inference(
                 det_cfg, model, variables, x,
                 img_shapes=shapes_f, scale_factors=scale_factor,
+            )
+        elif is_ssd:
+            cls, reg = model.apply(variables, x)
+            d = decode_ssd(
+                det_cfg, cls, reg, img_shapes=shapes_f, scale_factors=scale_factor
             )
         else:
             cls, reg = model.apply(variables, x)

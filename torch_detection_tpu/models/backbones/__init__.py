@@ -1,6 +1,7 @@
 from .mobilenet import MobileNet, MobileNetV2
 from .resnet import ResNet, ResNeXt, SEResNet, SEResNeXt
 from .shufflenet import ShuffleNet, ShuffleNetV2
+from .ssd_vgg import SSDVGG
 from .vgg import VGG
 
 __all__ = [
@@ -13,4 +14,5 @@ __all__ = [
     "ShuffleNet",
     "ShuffleNetV2",
     "VGG",
+    "SSDVGG",
 ]

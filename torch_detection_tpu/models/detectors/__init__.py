@@ -10,6 +10,7 @@ from .two_stage import (
     faster_rcnn_inference,
     faster_rcnn_loss,
 )
+from .ssd import SSDConfig, decode_ssd, ssd_loss
 from .mask_rcnn import (
     MaskDetections,
     MaskRCNN,
@@ -32,4 +33,7 @@ __all__ = [
     "TwoStageDetector",
     "faster_rcnn_inference",
     "faster_rcnn_loss",
+    "SSDConfig",
+    "decode_ssd",
+    "ssd_loss",
 ]

@@ -33,20 +33,27 @@ from ..heads.anchor_head import flatten_head_outputs
 
 @DETECTORS.register_module
 class SingleStageDetector(nn.Module):
-    """backbone cfg + neck cfg + head cfg -> per-level (cls, reg) outputs."""
+    """backbone cfg (+ optional neck cfg) + head cfg -> per-level outputs.
+
+    ``neck=None`` feeds the backbone's multi-scale maps straight to the
+    head (SSD style)."""
 
     backbone: Dict[str, Any]
-    neck: Dict[str, Any]
-    head: Dict[str, Any]
+    neck: Optional[Dict[str, Any]] = None
+    head: Optional[Dict[str, Any]] = None
 
     def setup(self):
+        assert self.head is not None, "SingleStageDetector requires a head cfg"
         self.backbone_mod = BACKBONES.build(dict(self.backbone), name="backbone")
-        self.neck_mod = NECKS.build(dict(self.neck), name="neck")
+        self.neck_mod = (
+            NECKS.build(dict(self.neck), name="neck") if self.neck else None
+        )
         self.head_mod = HEADS.build(dict(self.head), name="head")
 
     def __call__(self, images: jax.Array, train: bool = False):
         feats = self.backbone_mod(images, train=train)
-        feats = self.neck_mod(feats, train=train)
+        if self.neck_mod is not None:
+            feats = self.neck_mod(feats, train=train)
         return self.head_mod(feats, train=train)
 
 

@@ -157,3 +157,56 @@ class AnchorGenerator:
         """Feature-map sizes produced by a divisor-padded (h, w) canvas."""
         h, w = pad_shape
         return [(int(math.ceil(h / s)), int(math.ceil(w / s))) for s in self.strides]
+
+
+@dataclasses.dataclass(frozen=True)
+class SSDAnchorGenerator:
+    """SSD-style per-level anchors (min/max size pairs + per-level ratios).
+
+    mmdetection ``SSDAnchorGenerator`` geometry: each level l emits
+      * a ``min_size`` square,
+      * a ``sqrt(min*max)`` square,
+      * for each aspect r in ``ratios[l]``: ``min_size`` boxes at r and 1/r,
+    centered on ``(i + 0.5) * stride`` — 4 or 6 anchors per cell.  The
+    interface mirrors ``AnchorGenerator`` except ``num_base_anchors`` is
+    per-level (``num_base_anchors_per_level``).
+    """
+
+    strides: Tuple[int, ...] = (8, 16, 32, 64, 100, 300)
+    min_sizes: Tuple[float, ...] = (21.0, 45.0, 99.0, 153.0, 207.0, 261.0)
+    max_sizes: Tuple[float, ...] = (45.0, 99.0, 153.0, 207.0, 261.0, 315.0)
+    ratios: Tuple[Tuple[float, ...], ...] = ((2.0,), (2.0, 3.0), (2.0, 3.0), (2.0, 3.0), (2.0,), (2.0,))
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.strides)
+
+    @property
+    def num_base_anchors_per_level(self) -> Tuple[int, ...]:
+        return tuple(2 + 2 * len(r) for r in self.ratios)
+
+    def base_anchors_for_level(self, level: int) -> jnp.ndarray:
+        s = float(self.min_sizes[level])
+        big = math.sqrt(s * float(self.max_sizes[level]))
+        c = 0.5 * float(self.strides[level])
+        whs = [(s, s), (big, big)]
+        for r in self.ratios[level]:
+            sr = math.sqrt(r)
+            whs.append((s * sr, s / sr))
+            whs.append((s / sr, s * sr))
+        rows = [(c - 0.5 * w, c - 0.5 * h, c + 0.5 * w, c + 0.5 * h) for w, h in whs]
+        return jnp.asarray(rows, jnp.float32)
+
+    def grid_anchors(self, featmap_sizes: Sequence[Tuple[int, int]]) -> List[jnp.ndarray]:
+        assert len(featmap_sizes) == self.num_levels
+        return [
+            grid_anchors(self.base_anchors_for_level(i), featmap_sizes[i], self.strides[i])
+            for i in range(self.num_levels)
+        ]
+
+    def flat_anchors(self, featmap_sizes: Sequence[Tuple[int, int]]) -> jnp.ndarray:
+        return jnp.concatenate(self.grid_anchors(featmap_sizes), axis=0)
+
+    def featmap_sizes_for(self, pad_shape: Tuple[int, int]) -> List[Tuple[int, int]]:
+        h, w = pad_shape
+        return [(int(math.ceil(h / s)), int(math.ceil(w / s))) for s in self.strides]
