@@ -166,3 +166,38 @@ class TestSSDForward:
         model = build_detector(cfg["model"], "float32")
         loss_fn = build_loss_fn(model, det_cfg)
         assert callable(loss_fn)
+
+
+class TestSSDVGGParity:
+    def test_trunk_matches_torch(self, rng):
+        import torch
+
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import torch_refs
+        from torch_detection_tpu.models.backbones import SSDVGG
+        from torch_detection_tpu.models.torch_import import (
+            load_torch_weights,
+            ssd_vgg_key_rules,
+        )
+
+        tm = torch_refs.TorchSSDVGG().eval()
+        x = rng.normal(size=(1, 3, 300, 300)).astype(np.float32) * 0.1
+        with torch.no_grad():
+            t_outs = tm(torch.from_numpy(x))
+
+        m = SSDVGG()
+        jx = jnp.asarray(x.transpose(0, 2, 3, 1))
+        vars_ = jax.jit(m.init)(jax.random.PRNGKey(0), jx)
+        vars_ = load_torch_weights(
+            vars_, tm.state_dict(), key_rules=ssd_vgg_key_rules(), strict=True
+        )
+        j_outs = m.apply(jax.tree_util.tree_map(jnp.asarray, vars_), jx)
+
+        assert len(t_outs) == len(j_outs) == 6
+        for lvl, (t, j) in enumerate(zip(t_outs, j_outs)):
+            want = t.numpy().transpose(0, 2, 3, 1)
+            got = np.asarray(j)
+            assert got.shape == want.shape, (lvl, got.shape, want.shape)
+            err = np.linalg.norm(got - want) / (np.linalg.norm(want) + 1e-9)
+            assert err < 5e-3, f"level {lvl} normalized error {err}"

@@ -378,3 +378,71 @@ class TorchMobileNetV2(nn.Module):
             x = m(x)
             outs[self.stage_of[i]] = x
         return [outs[s] for s in self.out_stages]
+
+
+class TorchL2Norm(nn.Module):
+    def __init__(self, channels, scale=20.0, eps=1e-10):
+        super().__init__()
+        self.scale = nn.Parameter(torch.full((channels,), float(scale)))
+        self.eps = eps
+
+    def forward(self, x):  # (B, C, H, W)
+        norm = x.pow(2).sum(dim=1, keepdim=True).sqrt() + self.eps
+        return x / norm * self.scale.view(1, -1, 1, 1)
+
+
+class TorchSSDVGG(nn.Module):
+    """SSD300 VGG16 trunk mirroring models/backbones/ssd_vgg.py naming:
+    layer{s}_{j}, conv6..conv11_2 (each a TorchConvModule), l2_norm."""
+
+    def __init__(self):
+        super().__init__()
+        arch = ((2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
+        in_ch = 3
+        for s, (blocks, ch) in enumerate(arch):
+            for j in range(blocks):
+                setattr(self, f"layer{s + 1}_{j}", TorchConvModule(in_ch, ch, 3, padding=1))
+                in_ch = ch
+        self.l2_norm = TorchL2Norm(512)
+        self.conv6 = TorchConvModule(512, 1024, 3, padding=6)
+        self.conv6.conv.dilation = (6, 6)
+        self.conv7 = TorchConvModule(1024, 1024, 1)
+        self.conv8_1 = TorchConvModule(1024, 256, 1)
+        self.conv8_2 = TorchConvModule(256, 512, 3, stride=2, padding=1)
+        self.conv9_1 = TorchConvModule(512, 128, 1)
+        self.conv9_2 = TorchConvModule(128, 256, 3, stride=2, padding=1)
+        self.conv10_1 = TorchConvModule(256, 128, 1)
+        self.conv10_2 = TorchConvModule(128, 256, 3)
+        self.conv11_1 = TorchConvModule(256, 128, 1)
+        self.conv11_2 = TorchConvModule(128, 256, 3)
+
+    def forward(self, x):
+        pool = lambda v: nn.functional.max_pool2d(v, 2, 2, ceil_mode=True)
+        outs = []
+        for j in range(2):
+            x = getattr(self, f"layer1_{j}")(x)
+        x = pool(x)
+        for j in range(2):
+            x = getattr(self, f"layer2_{j}")(x)
+        x = pool(x)
+        for j in range(3):
+            x = getattr(self, f"layer3_{j}")(x)
+        x = pool(x)
+        for j in range(3):
+            x = getattr(self, f"layer4_{j}")(x)
+        outs.append(self.l2_norm(x))
+        x = pool(x)
+        for j in range(3):
+            x = getattr(self, f"layer5_{j}")(x)
+        x = nn.functional.max_pool2d(x, 3, 1, padding=1)
+        x = self.conv7(self.conv6(x))
+        outs.append(x)
+        x = self.conv8_2(self.conv8_1(x))
+        outs.append(x)
+        x = self.conv9_2(self.conv9_1(x))
+        outs.append(x)
+        x = self.conv10_2(self.conv10_1(x))
+        outs.append(x)
+        x = self.conv11_2(self.conv11_1(x))
+        outs.append(x)
+        return outs

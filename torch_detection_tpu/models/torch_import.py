@@ -416,3 +416,15 @@ def load_torch_checkpoint(path: str):
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
     return {k: _to_numpy(v) for k, v in obj.items()}
+
+
+def ssd_vgg_key_rules() -> Sequence[Tuple[str, Optional[str]]]:
+    """Key rules for SSDVGG trunks named like ours (layer{s}_{j}/conv6../
+    l2_norm) — the mirror convention ``tests/torch_refs.TorchSSDVGG`` and
+    any converted SSD checkpoint following it."""
+    return [
+        (r"^(layer\d+_\d+)\.conv\.(.*)$", r"\1/conv.\2"),
+        (r"^(conv\d+(?:_\d+)?)\.conv\.(.*)$", r"\1/conv.\2"),
+        # 1-D "weight" leaves classify as a norm scale -> params/l2_norm/scale
+        (r"^l2_norm\.scale$", r"l2_norm.weight"),
+    ]
