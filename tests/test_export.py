@@ -78,6 +78,38 @@ class TestServingExport:
         # something must actually be detected with score_thr=0
         assert np.asarray(served["valid"]).sum() > 0
 
+    def test_ssd_roundtrip(self, tmp_path, rng):
+        from torch_detection_tpu.builder import build_detector
+        from torch_detection_tpu.models.detectors import SSDConfig
+        from torch_detection_tpu.ops.anchors import SSDAnchorGenerator
+
+        model = build_detector(dict(
+            type="SingleStageDetector",
+            backbone=dict(type="SSDVGG", depth=16),
+            neck=None,
+            head=dict(type="SSDHead", num_classes=4,
+                      in_channels=(512, 1024, 512, 256, 256, 256),
+                      anchors_per_level=(4, 6, 6, 6, 4, 4)),
+        ))
+        cfg = SSDConfig(
+            num_classes=4, anchor_generator=SSDAnchorGenerator(),
+            max_detections=10, pre_nms_top_k=100, score_thr=0.0,
+        )
+        x = jnp.zeros((1, 300, 300, 3), jnp.float32)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        exported = export_serving(
+            model, cfg, variables, batch=1, canvas=(300, 300),
+            compute_dtype=jnp.float32,
+        )
+        path = os.path.join(tmp_path, "ssd.jaxexp")
+        save_serving(exported, path)
+        img = rng.integers(0, 255, (1, 300, 300, 3)).astype(np.uint8)
+        served = load_serving(path)(
+            img, np.asarray([[300, 300]], np.int32), np.ones((1,), np.float32)
+        )
+        assert served["boxes"].shape == (1, 10, 4)
+        assert np.asarray(served["valid"]).sum() > 0
+
     def test_mask_rcnn_roundtrip(self, tmp_path, rng):
         model = MaskRCNN(
             backbone=dict(type="ResNet", depth=18, num_stages=4, out_indices=(0, 1, 2, 3)),
