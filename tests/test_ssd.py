@@ -167,6 +167,26 @@ class TestSSDForward:
         loss_fn = build_loss_fn(model, det_cfg)
         assert callable(loss_fn)
 
+    def test_ssd512_geometry(self):
+        from torch_detection_tpu.models.backbones import SSDVGG
+        from torch_detection_tpu.utils import Config
+
+        cfg = Config.fromfile("configs/ssd512_vgg16_coco.py")
+        det_cfg = build_detection_cfg(cfg["detection"])
+        fs = det_cfg.anchor_generator.featmap_sizes_for((512, 512))
+        assert fs == [(64, 64), (32, 32), (16, 16), (8, 8), (4, 4), (2, 2), (1, 1)]
+        total = sum(
+            h * w * a
+            for (h, w), a in zip(fs, det_cfg.anchor_generator.num_base_anchors_per_level)
+        )
+        assert total == 24564  # canonical SSD512 anchor count
+        # the 512 trunk emits the matching 7-level ladder
+        m = SSDVGG(input_size=512)
+        x = jnp.zeros((1, 512, 512, 3), jnp.float32)
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        outs = m.apply(v, x)
+        assert [o.shape[1:3] for o in outs] == fs
+
 
 class TestSSDVGGParity:
     def test_trunk_matches_torch(self, rng):

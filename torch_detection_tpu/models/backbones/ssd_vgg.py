@@ -52,12 +52,14 @@ class L2Norm(nn.Module):
 @BACKBONES.register_module
 class SSDVGG(nn.Module):
     depth: int = 16  # VGG16 trunk (the SSD standard)
+    input_size: int = 300  # 300 or 512: selects the extra-block geometry
     l2_norm_scale: float = 20.0
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, ...]:
         assert self.depth == 16, "SSDVGG implements the VGG16 trunk"
+        assert self.input_size in (300, 512)
 
         def conv(x, ch, name, k=3, stride=1, pad=1, dil=1):
             return ConvModule(
@@ -89,16 +91,25 @@ class SSDVGG(nn.Module):
         x = conv(x, 1024, "conv6", k=3, pad=6, dil=6)
         x = conv(x, 1024, "conv7", k=1, pad=0)
         outs.append(x)
-        x = conv(x, 256, "conv8_1", k=1, pad=0)
-        x = conv(x, 512, "conv8_2", k=3, stride=2, pad=1)
-        outs.append(x)
-        x = conv(x, 128, "conv9_1", k=1, pad=0)
-        x = conv(x, 256, "conv9_2", k=3, stride=2, pad=1)
-        outs.append(x)
-        x = conv(x, 128, "conv10_1", k=1, pad=0)
-        x = conv(x, 256, "conv10_2", k=3, pad=0)
-        outs.append(x)
-        x = conv(x, 128, "conv11_1", k=1, pad=0)
-        x = conv(x, 256, "conv11_2", k=3, pad=0)
-        outs.append(x)
+        if self.input_size == 300:
+            # (bottleneck_ch, out_ch, kernel, stride, pad) per extra block
+            extras = [
+                (256, 512, 3, 2, 1),  # conv8: 19 -> 10
+                (128, 256, 3, 2, 1),  # conv9: 10 -> 5
+                (128, 256, 3, 1, 0),  # conv10: 5 -> 3
+                (128, 256, 3, 1, 0),  # conv11: 3 -> 1
+            ]
+        else:  # 512
+            extras = [
+                (256, 512, 3, 2, 1),  # conv8: 32 -> 16
+                (128, 256, 3, 2, 1),  # conv9: 16 -> 8
+                (128, 256, 3, 2, 1),  # conv10: 8 -> 4
+                (128, 256, 3, 2, 1),  # conv11: 4 -> 2
+                (128, 256, 4, 1, 1),  # conv12: 2 -> 1 (the SSD512 4x4 tail)
+            ]
+        for i, (mid, out_ch, k, s, p) in enumerate(extras):
+            n = 8 + i
+            x = conv(x, mid, f"conv{n}_1", k=1, pad=0)
+            x = conv(x, out_ch, f"conv{n}_2", k=k, stride=s, pad=p)
+            outs.append(x)
         return tuple(outs)
