@@ -37,9 +37,8 @@ class TestSSDAnchors:
 
 
 def _tiny_ssd(num_classes=4):
-    # full SSDVGG trunk at 300x300 is too heavy for CPU tests; use a tiny
-    # stand-in backbone shape contract via the real head + real anchors at
-    # a smaller canvas where featmaps still ladder correctly
+    # real SSDVGG trunk + SSDHead at 300x300 with a small class count —
+    # heavy-ish on 1 CPU core but it exercises the genuine geometry
     model = build_detector(dict(
         type="SingleStageDetector",
         backbone=dict(type="SSDVGG", depth=16),
