@@ -123,16 +123,32 @@ def main() -> None:
             )
 
     else:
-        from torch_detection_tpu.models.detectors import SSDConfig, decode_ssd
+        from torch_detection_tpu.models.detectors import (
+            FCOSConfig,
+            SSDConfig,
+            decode_fcos,
+            decode_ssd,
+        )
 
-        decode_fn = decode_ssd if isinstance(det_cfg, SSDConfig) else decode_detections
+        if isinstance(det_cfg, FCOSConfig):
 
-        @jax.jit
-        def infer(variables, image, img_shape, scale_factor):
-            cls, reg = model.apply(variables, image)
-            return decode_fn(
-                det_cfg, cls, reg, img_shapes=img_shape, scale_factors=scale_factor
-            )
+            @jax.jit
+            def infer(variables, image, img_shape, scale_factor):
+                cls, reg, ctr = model.apply(variables, image)
+                return decode_fcos(
+                    det_cfg, cls, reg, ctr,
+                    img_shapes=img_shape, scale_factors=scale_factor,
+                )
+
+        else:
+            decode_fn = decode_ssd if isinstance(det_cfg, SSDConfig) else decode_detections
+
+            @jax.jit
+            def infer(variables, image, img_shape, scale_factor):
+                cls, reg = model.apply(variables, image)
+                return decode_fn(
+                    det_cfg, cls, reg, img_shapes=img_shape, scale_factors=scale_factor
+                )
 
     n = len(dataset) if args.max_images is None else min(args.max_images, len(dataset))
 

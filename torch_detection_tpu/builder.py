@@ -67,6 +67,20 @@ def build_detection_cfg(det_cfg: Dict[str, Any]):
                 kwargs[key] = tuple(v) if isinstance(v, list) else v
         return cls(**kwargs)
 
+    if style == "fcos":
+        from .models.detectors import FCOSConfig
+
+        kwargs = {}
+        for key in ("num_classes", "strides", "regress_ranges", "focal_gamma",
+                    "focal_alpha", "score_thr", "nms_iou_thr",
+                    "pre_select_per_level", "pre_nms_top_k", "max_detections"):
+            if key in cfg:
+                v = cfg[key]
+                if key == "regress_ranges":
+                    v = tuple(tuple(r) for r in v)
+                kwargs[key] = tuple(v) if isinstance(v, list) else v
+        return FCOSConfig(**kwargs)
+
     if style == "ssd":
         from .models.detectors import SSDConfig
         from .ops.anchors import SSDAnchorGenerator
@@ -143,7 +157,25 @@ def build_loss_fn(model, det_cfg, rng_seed: int = 0):
 
         return loss_fn
 
-    from .models.detectors import SSDConfig, ssd_loss
+    from .models.detectors import FCOSConfig, SSDConfig, fcos_loss, ssd_loss
+
+    if isinstance(det_cfg, FCOSConfig):
+        def loss_fn(params, batch_stats, batch):
+            cls, reg, ctr = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch["image"], train=True
+            )
+            losses = fcos_loss(
+                det_cfg, cls, reg, ctr, batch["gt_boxes"], batch["gt_labels"],
+                batch["gt_valid"],
+            )
+            return losses["loss"], {
+                "loss_cls": losses["loss_cls"],
+                "loss_reg": losses["loss_reg"],
+                "loss_centerness": losses["loss_centerness"],
+                "num_pos": losses["num_pos"],
+            }
+
+        return loss_fn
 
     if isinstance(det_cfg, SSDConfig):
         def loss_fn(params, batch_stats, batch):

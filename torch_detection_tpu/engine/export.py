@@ -54,9 +54,11 @@ def make_serving_fn(
     """Closed-over-weights inference callable (u8 canvas -> detections)."""
     from ..models.detectors import (
         FasterRCNNConfig,
+        FCOSConfig,
         MaskRCNN,
         SSDConfig,
         decode_detections,
+        decode_fcos,
         decode_ssd,
         faster_rcnn_inference,
         mask_rcnn_inference,
@@ -65,6 +67,7 @@ def make_serving_fn(
     is_two_stage = isinstance(det_cfg, FasterRCNNConfig)
     is_mask = isinstance(model, MaskRCNN)
     is_ssd = isinstance(det_cfg, SSDConfig)
+    is_fcos = isinstance(det_cfg, FCOSConfig)
 
     def serve(image_u8, img_shape, scale_factor):
         x = _normalize_pad(image_u8, img_shape, mean, std, compute_dtype)
@@ -81,6 +84,12 @@ def make_serving_fn(
         if is_two_stage:
             d = faster_rcnn_inference(
                 det_cfg, model, variables, x,
+                img_shapes=shapes_f, scale_factors=scale_factor,
+            )
+        elif is_fcos:
+            cls, reg, ctr = model.apply(variables, x)
+            d = decode_fcos(
+                det_cfg, cls, reg, ctr,
                 img_shapes=shapes_f, scale_factors=scale_factor,
             )
         elif is_ssd:

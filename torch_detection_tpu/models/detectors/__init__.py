@@ -10,6 +10,7 @@ from .two_stage import (
     faster_rcnn_inference,
     faster_rcnn_loss,
 )
+from .fcos import FCOSConfig, decode_fcos, fcos_loss
 from .ssd import SSDConfig, decode_ssd, ssd_loss
 from .mask_rcnn import (
     MaskDetections,
@@ -36,4 +37,7 @@ __all__ = [
     "SSDConfig",
     "decode_ssd",
     "ssd_loss",
+    "FCOSConfig",
+    "decode_fcos",
+    "fcos_loss",
 ]

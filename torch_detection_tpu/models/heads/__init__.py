@@ -1,5 +1,6 @@
 from .anchor_head import RetinaHead, flatten_head_outputs
 from .bbox_head import BBoxHead
+from .fcos_head import FCOSHead
 from .ssd_head import SSDHead
 from .rpn_head import ProposalConfig, Proposals, RPNHead, generate_proposals
 
