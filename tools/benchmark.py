@@ -418,6 +418,31 @@ def main():
     dt = timed(cfg7, args.iters)
     results.append({"config": "7: SSD300-VGG16 e2e inference", "images_per_sec": round(sb / dt, 2)})
 
+    # ---- bonus: FCOS-R50 e2e (anchor-free family)
+    from torch_detection_tpu.models.detectors import FCOSConfig, decode_fcos
+
+    fcos = build_detector(dict(
+        type="SingleStageDetector",
+        backbone=dict(type="ResNet", depth=50, num_stages=4, out_indices=(1, 2, 3)),
+        neck=dict(type="FPN", in_channels=(512, 1024, 2048), out_channels=256, num_outs=5,
+                  add_extra_convs=True, extra_convs_on_inputs=True,
+                  relu_before_extra_convs=True),
+        head=dict(type="FCOSHead", num_classes=80, in_channels=256,
+                  feat_channels=256, stacked_convs=4),
+    ), compute_dtype="bfloat16")
+    fcos_cfg = FCOSConfig(num_classes=80, approx_top_k=True)
+    vars_fc = jax.jit(fcos.init)(jax.random.PRNGKey(0), xb0)
+
+    @jax.jit
+    def cfg8(acc):
+        x = fused_normalize_pad(xu8, shp, out_dtype=jnp.bfloat16)
+        cls, reg, ctr = fcos.apply(vars_fc, x)
+        d = decode_fcos(fcos_cfg, cls, reg, ctr)
+        return acc + jnp.sum(d.scores)
+
+    dt = timed(cfg8, args.iters)
+    results.append({"config": "8: FCOS-R50 e2e inference", "images_per_sec": round(B / dt, 2)})
+
     for r in results:
         print(json.dumps(r))
 
