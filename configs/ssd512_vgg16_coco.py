@@ -3,7 +3,7 @@
 # TCGGroup/Torch_Detection; the reference never built the detector tier).
 #
 # NOTE on resizing: the canonical SSD protocol distorts images to a square
-# 512x512; this pipeline keep-ratio-resizes (longest side 300) onto a
+# 512x512; this pipeline keep-ratio-resizes (longest side 512) onto a
 # 512x512 canvas with validity-masked padding — anchors outside the valid
 # region are handled by the fixed-shape masking like every other config.
 

@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pytest
 
@@ -212,6 +214,39 @@ class TestCheckpoint:
         np.testing.assert_array_equal(loaded["params"]["conv"]["kernel"], 1.0)
         np.testing.assert_array_equal(loaded["batch_stats"]["bn"]["mean"], 0.0)
 
+    def test_opt_state_roundtrip(self, tmp_path):
+        """Resume contract: a saved optax opt_state (NamedTuple chain) must
+        come back usable by tx.update after the orbax template-free restore
+        flattens NamedTuples to dicts and EmptyStates to None."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from torch_detection_tpu.engine import load_checkpoint_file, rebuild_opt_state
+
+        params = {"a": jnp.ones((2,)), "b": {"w": jnp.full((3,), 2.0)}}
+        for tx in (
+            optax.chain(optax.clip_by_global_norm(35.0), optax.sgd(0.01, momentum=0.9)),
+            optax.adamw(1e-3),  # mu/nu same-shape slots: by-name matching test
+        ):
+            opt_state = tx.init(params)
+            # make slot values distinguishable (catch silent permutation)
+            grads = jax.tree_util.tree_map(lambda x: x * 0.5, params)
+            _, opt_state = tx.update(grads, opt_state, params)
+            path = str(tmp_path / f"ck_{type(opt_state[-1]).__name__}")
+            save_checkpoint(path, {"params": params}, opt_state=opt_state,
+                            meta={"epoch": 1, "step": 7})
+            payload = load_checkpoint_file(path)
+            rebuilt = rebuild_opt_state(tx.init(params), payload["opt_state"])
+            assert jax.tree_util.tree_structure(rebuilt) == jax.tree_util.tree_structure(opt_state)
+            for want, got in zip(
+                jax.tree_util.tree_leaves(opt_state), jax.tree_util.tree_leaves(rebuilt)
+            ):
+                np.testing.assert_allclose(np.asarray(want), np.asarray(got))
+            # and tx.update actually runs on the rebuilt state
+            updates, _ = tx.update(grads, rebuilt, params)
+            assert jax.tree_util.tree_structure(updates) == jax.tree_util.tree_structure(params)
+
     def test_tolerant_mismatch(self, tmp_path, caplog):
         variables = {"params": {"a": np.ones(3), "b": np.ones(2)}}
         path = str(tmp_path / "ckpt2")
@@ -221,6 +256,32 @@ class TestCheckpoint:
         np.testing.assert_array_equal(loaded["params"]["b"], 1.0)
         with pytest.raises(RuntimeError):
             load_checkpoint(variables, path, strict=True)
+
+    def test_source_schemes(self, tmp_path):
+        """modelzoo:// + URL resolution (reference checkpoint.py:87-99),
+        exercised offline via file://."""
+        import torch
+
+        from torch_detection_tpu.engine import resolve_checkpoint_source
+
+        pth = tmp_path / "weights.pth"
+        torch.save({"conv.weight": torch.ones(1)}, str(pth))
+        cache = str(tmp_path / "cache")
+        url = "file://" + str(pth)
+        out = resolve_checkpoint_source(url, cache_dir=cache)
+        assert out.startswith("torch://") and out.endswith("weights.pth")
+        local = out[len("torch://"):]
+        assert os.path.isfile(local) and local.startswith(cache)
+        # cached: second resolve re-uses the file (no re-download)
+        mtime = os.path.getmtime(local)
+        assert resolve_checkpoint_source(url, cache_dir=cache) == out
+        assert os.path.getmtime(local) == mtime
+        # modelzoo aliases map to torchvision URLs; unknown aliases raise
+        with pytest.raises(KeyError):
+            resolve_checkpoint_source("modelzoo://nope", cache_dir=cache)
+        # passthrough for local paths and torch://
+        assert resolve_checkpoint_source("/a/b") == "/a/b"
+        assert resolve_checkpoint_source("torch://x.pth") == "torch://x.pth"
 
     def test_torch_scheme(self, tmp_path):
         import jax

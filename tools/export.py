@@ -88,9 +88,12 @@ def main() -> None:
     if args.checkpoint:
         variables, _ = load_checkpoint(variables, args.checkpoint, strict=False)
 
-    norm = dict(cfg["data"].get("img_norm", {}))
-    mean = tuple(norm.get("mean", (123.675, 116.28, 103.53)))
-    std = tuple(norm.get("std", (58.395, 57.12, 57.375)))
+    # Normalization stats live on the per-split dataset cfg (img_means /
+    # img_stds under data.val / data.train) — not a top-level img_norm key.
+    data_cfg = cfg.get("data", {})
+    split = data_cfg.get("val", data_cfg.get("train", {})) or {}
+    mean = tuple(split.get("img_means", (123.675, 116.28, 103.53)))
+    std = tuple(split.get("img_stds", (58.395, 57.12, 57.375)))
 
     exported = export_serving(
         model, det_cfg, variables, args.batch, canvas,

@@ -111,20 +111,23 @@ def main() -> None:
         if args.resume:
             logging.info("auto-resume found %s", args.resume)
     if args.resume:
+        from torch_detection_tpu.engine import rebuild_opt_state
+        from torch_detection_tpu.parallel import TrainState, shard_params
+
         payload = load_checkpoint_file(args.resume)
         start_epoch = int(payload.get("meta", {}).get("epoch", 0))
         logging.info("resuming from %s at epoch %d", args.resume, start_epoch)
-        from torch_detection_tpu.parallel import TrainState, shard_params
-
         variables = payload["variables"]
+        # Orbax's template-free restore loses optax's NamedTuple chain
+        # (dicts/lists/None come back); rebuild it against a fresh tx.init
+        # so tx.update and the sharding pytrees see the real structure.
+        opt_state = tx.init(variables["params"])
+        if "opt_state" in payload:
+            opt_state = rebuild_opt_state(opt_state, payload["opt_state"])
         trainer.state = TrainState(
             step=jnp.asarray(payload["meta"].get("step", 0), jnp.int32),
             params=shard_params(mesh, variables["params"]),
-            opt_state=(
-                jax.tree_util.tree_map(lambda x: shard_params(mesh, x), payload["opt_state"])
-                if "opt_state" in payload
-                else tx.init(variables["params"])
-            ),
+            opt_state=shard_params(mesh, opt_state),
             batch_stats=shard_params(mesh, variables.get("batch_stats")) if variables.get("batch_stats") else None,
         )
 

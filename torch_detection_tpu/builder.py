@@ -73,7 +73,8 @@ def build_detection_cfg(det_cfg: Dict[str, Any]):
         kwargs = {}
         for key in ("num_classes", "strides", "regress_ranges", "focal_gamma",
                     "focal_alpha", "score_thr", "nms_iou_thr",
-                    "pre_select_per_level", "pre_nms_top_k", "max_detections"):
+                    "pre_select_per_level", "pre_nms_top_k", "max_detections",
+                    "approx_top_k"):
             if key in cfg:
                 v = cfg[key]
                 if key == "regress_ranges":
@@ -97,7 +98,7 @@ def build_detection_cfg(det_cfg: Dict[str, Any]):
             kwargs["assigner"] = MaxIoUAssigner(**assigner)
         for key in ("num_classes", "target_means", "target_stds", "neg_pos_ratio",
                     "smooth_l1_beta", "score_thr", "nms_iou_thr",
-                    "pre_nms_top_k", "max_detections"):
+                    "pre_nms_top_k", "max_detections", "approx_top_k"):
             if key in cfg:
                 v = cfg[key]
                 kwargs[key] = tuple(v) if isinstance(v, list) else v

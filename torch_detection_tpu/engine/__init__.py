@@ -1,4 +1,6 @@
-from .checkpoint import latest_checkpoint, load_checkpoint, load_checkpoint_file, save_checkpoint
+from .checkpoint import (MODELZOO_URLS, latest_checkpoint, load_checkpoint,
+                         load_checkpoint_file, rebuild_opt_state,
+                         resolve_checkpoint_source, save_checkpoint)
 from .export import export_serving, load_serving, make_serving_fn, save_serving
 from .eval import detections_from_nms, eval_coco_map, eval_voc_map
 from .profiling import ThroughputMeter, annotate, trace
@@ -9,6 +11,9 @@ __all__ = [
     "latest_checkpoint",
     "load_checkpoint",
     "load_checkpoint_file",
+    "rebuild_opt_state",
+    "resolve_checkpoint_source",
+    "MODELZOO_URLS",
     "save_checkpoint",
     "detections_from_nms",
     "eval_coco_map",

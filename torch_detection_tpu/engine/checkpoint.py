@@ -71,18 +71,123 @@ def load_checkpoint_file(path: str) -> Dict[str, Any]:
     return _checkpointer().restore(path)
 
 
+def rebuild_opt_state(template, raw):
+    """Re-impose optax's NamedTuple chain onto a template-free orbax restore.
+
+    ``PyTreeCheckpointer.restore`` without an item template returns plain
+    containers: NamedTuples come back as dicts keyed by field name, empty
+    NamedTuples (``optax.EmptyState``) as ``None``, tuples as lists.  The
+    restored tree can neither be fed to ``tx.update`` (attribute access)
+    nor matched against sharding pytrees.  This walks ``template`` (a fresh
+    ``tx.init(params)``) and rebuilds the exact container types with the
+    restored leaf values.  Leaf matching is BY NAME (field/key), never by
+    flatten order, so dict-key sorting cannot silently permute same-shaped
+    slots (e.g. Adam's mu/nu).
+    """
+    if raw is None:
+        # empty NamedTuple (EmptyState) or genuinely-None slot
+        return template
+    if hasattr(template, "_fields"):  # NamedTuple
+        vals = [
+            rebuild_opt_state(getattr(template, f), raw.get(f) if isinstance(raw, dict) else None)
+            for f in template._fields
+        ]
+        return type(template)(*vals)
+    if isinstance(template, (tuple, list)):
+        if not isinstance(raw, (tuple, list)) or len(raw) != len(template):
+            raise ValueError(
+                f"opt_state structure mismatch: template {type(template).__name__}"
+                f"[{len(template)}] vs restored {type(raw).__name__}"
+            )
+        return type(template)(rebuild_opt_state(t, r) for t, r in zip(template, raw))
+    if isinstance(template, dict):
+        if not isinstance(raw, dict):
+            raise ValueError(f"opt_state structure mismatch: dict vs {type(raw).__name__}")
+        return {k: rebuild_opt_state(v, raw.get(k)) for k, v in template.items()}
+    # leaf: take the restored value, preserving the template's dtype intent
+    return raw
+
+
+# "load pretrained backbone by name" aliases, mirroring the reference's
+# modelzoo:// contract (reference models/utils/checkpoint.py:87-99 resolves
+# modelzoo://<arch> through torchvision's model_urls).  The downloaded
+# payloads are torchvision .pth state_dicts, so resolution routes through
+# the torch:// importer.
+MODELZOO_URLS = {
+    "resnet18": "https://download.pytorch.org/models/resnet18-5c106cde.pth",
+    "resnet34": "https://download.pytorch.org/models/resnet34-333f7ec4.pth",
+    "resnet50": "https://download.pytorch.org/models/resnet50-19c8e357.pth",
+    "resnet101": "https://download.pytorch.org/models/resnet101-5d3b4d8f.pth",
+    "resnet152": "https://download.pytorch.org/models/resnet152-b121ed2d.pth",
+    "resnext50_32x4d": "https://download.pytorch.org/models/resnext50_32x4d-7cdf4587.pth",
+    "resnext101_32x8d": "https://download.pytorch.org/models/resnext101_32x8d-8ba56ff5.pth",
+    "vgg16": "https://download.pytorch.org/models/vgg16-397923af.pth",
+    "mobilenet_v2": "https://download.pytorch.org/models/mobilenet_v2-b0353104.pth",
+}
+
+DEFAULT_CACHE_DIR = os.path.join(
+    os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+    "torch_detection_tpu", "checkpoints",
+)
+
+
+def resolve_checkpoint_source(filename: str, cache_dir: Optional[str] = None) -> str:
+    """Resolve a checkpoint *source scheme* to a loadable local target.
+
+    * ``modelzoo://<arch>`` → the torchvision URL from ``MODELZOO_URLS``,
+      downloaded to the cache and returned as ``torch://<local.pth>``;
+    * ``http(s)://...`` / ``file://...`` → downloaded/copied to the cache;
+      ``.pth``/``.pt`` payloads return as ``torch://<local>``, anything else
+      as the bare local path (an orbax dir tarball is not supported — orbax
+      checkpoints are directories and stay local-path-only);
+    * ``torch://`` and plain local paths pass through unchanged.
+
+    Downloads are cached by filename under ``cache_dir`` (default
+    ``~/.cache/torch_detection_tpu/checkpoints``) and re-used; this box has
+    no egress, so http(s) fetches surface their URLError to the caller.
+    """
+    if filename.startswith("modelzoo://"):
+        arch = filename[len("modelzoo://"):]
+        if arch not in MODELZOO_URLS:
+            raise KeyError(
+                f"unknown modelzoo alias {arch!r}; known: {sorted(MODELZOO_URLS)}"
+            )
+        filename = MODELZOO_URLS[arch]
+    if filename.startswith(("http://", "https://", "file://")):
+        from urllib.parse import urlparse
+        from urllib.request import urlretrieve
+
+        cache_dir = cache_dir or DEFAULT_CACHE_DIR
+        os.makedirs(cache_dir, exist_ok=True)
+        name = os.path.basename(urlparse(filename).path) or "checkpoint"
+        local = os.path.join(cache_dir, name)
+        if not os.path.exists(local):
+            logger.info("downloading %s -> %s", filename, local)
+            tmp = local + ".part"
+            urlretrieve(filename, tmp)
+            os.replace(tmp, local)
+        if local.endswith((".pth", ".pt")):
+            return "torch://" + local
+        return local
+    return filename
+
+
 def load_checkpoint(
     variables: Dict[str, Any],
     filename: str,
     strict: bool = False,
     log: Optional[logging.Logger] = None,
     key_rules=None,
+    cache_dir: Optional[str] = None,
 ) -> Tuple[Dict[str, Any], Dict]:
     """Load weights into an initialized variable tree.
 
     ``filename`` schemes:
       * ``torch://<path.pth>`` — import a PyTorch state_dict (torchvision
         naming) via the key-rule converter;
+      * ``modelzoo://<arch>`` / ``http(s)://`` / ``file://`` — resolved via
+        ``resolve_checkpoint_source`` (reference checkpoint.py:87-99), then
+        loaded as above;
       * anything else — an orbax checkpoint directory saved by
         ``save_checkpoint``.
 
@@ -90,6 +195,7 @@ def load_checkpoint(
     raised when ``strict``.
     """
     log = log or logger
+    filename = resolve_checkpoint_source(filename, cache_dir=cache_dir)
     if filename.startswith("torch://"):
         from ..models.torch_import import (
             RESNET_KEY_RULES,
