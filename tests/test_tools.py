@@ -149,6 +149,33 @@ def _flatten_named(tree):
 
 
 @pytest.mark.slow
+def test_train_val_hook_cli(tiny_cfg_file):
+    """In-training validation (VERDICT r2 weak #6): eval every epoch on the
+    val split, log mAP, save the best-mAP checkpoint to work_dir/best."""
+    cfg_path, root = tiny_cfg_file
+    work = osp.join(root, "work_val")
+    val_cfg_path = osp.join(root, "tiny_val.py")
+    with open(cfg_path) as f:
+        body = f.read()
+    body = body.replace(
+        "runtime = dict(",
+        "runtime = dict(val_interval_epochs=1, val_batch=2, val_max_images=4, ",
+    )
+    with open(val_cfg_path, "w") as f:
+        f.write(body)
+    res = _run("train.py", val_cfg_path, "--epochs", "2", "--work-dir", work)
+    assert res.returncode == 0, res.stderr[-3000:]
+    log = res.stderr + res.stdout
+    assert "val (" in log and "mAP" in log
+    best = osp.join(work, "best")
+    assert osp.isdir(best)
+    from torch_detection_tpu.engine import load_checkpoint_file
+
+    pay = load_checkpoint_file(best)
+    assert "mAP" in pay["meta"] and "params" in pay["variables"]
+
+
+@pytest.mark.slow
 def test_test_cli(tiny_cfg_file):
     cfg_path, root = tiny_cfg_file
     ckpt = osp.join(root, "work", "epoch_1")

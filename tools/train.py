@@ -96,12 +96,34 @@ def main() -> None:
 
     loss_fn = build_loss_fn(model, det_cfg, rng_seed=args.seed)
 
+    # in-training validation (runtime.val_interval_epochs > 0 enables it):
+    # eval the val split every N epochs, keep the best-mAP checkpoint
+    val_hook = None
+    val_interval = int(runtime.get("val_interval_epochs", 0) or 0)
+    if val_interval > 0 and cfg["data"].get("val"):
+        from torch_detection_tpu.data import get_datasets
+        from torch_detection_tpu.engine.validate import make_validation_hook
+
+        val_cfg = dict(cfg["data"]["val"])
+        sizes = val_cfg.get("img_expected_sizes")
+        if isinstance(sizes, list):  # single-scale eval during training
+            val_cfg["img_expected_sizes"] = sizes[0]
+        val_cfg["flip_ratio"] = 0
+        val_hook = make_validation_hook(
+            model, det_cfg, get_datasets(val_cfg),
+            batch=int(runtime.get("val_batch", 8)), canvas=canvas,
+            max_images=runtime.get("val_max_images"),
+            voc_metric=bool(runtime.get("val_voc_metric", False)),
+        )
+
     trainer = Trainer(
         loss_fn, variables, tx, loader, mesh=mesh,
         work_dir=work_dir,
         log_interval=runtime.get("log_interval", 50),
         checkpoint_interval_epochs=runtime.get("checkpoint_interval_epochs", 1),
         profile_dir=args.profile_dir,
+        val_hook=val_hook,
+        val_interval_epochs=val_interval or 1,
     )
     start_epoch = 0
     if args.auto_resume and not args.resume:

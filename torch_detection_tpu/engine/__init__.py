@@ -6,6 +6,7 @@ from .eval import detections_from_nms, eval_coco_map, eval_voc_map
 from .profiling import ThroughputMeter, annotate, trace
 from .trainer import Trainer, detection_lr_schedule
 from .tta import debox_to_original, merge_tta_detections
+from .validate import evaluate_detector, make_inference_fn, make_validation_hook
 
 __all__ = [
     "latest_checkpoint",
@@ -15,6 +16,9 @@ __all__ = [
     "resolve_checkpoint_source",
     "MODELZOO_URLS",
     "save_checkpoint",
+    "evaluate_detector",
+    "make_inference_fn",
+    "make_validation_hook",
     "detections_from_nms",
     "eval_coco_map",
     "eval_voc_map",

@@ -65,6 +65,9 @@ class Trainer:
         checkpoint_interval_epochs: int = 1,
         max_keep_checkpoints: int = 3,
         profile_dir: Optional[str] = None,
+        val_hook: Optional[Callable[[Dict[str, Any]], Dict[str, float]]] = None,
+        val_interval_epochs: int = 1,
+        best_metric: str = "mAP",
     ):
         self.loss_fn = loss_fn
         self.tx = tx
@@ -76,6 +79,14 @@ class Trainer:
         self.checkpoint_interval_epochs = checkpoint_interval_epochs
         self.max_keep_checkpoints = max_keep_checkpoints
         self.profile_dir = profile_dir
+        # in-training validation: ``val_hook(variables) -> {"mAP": ...}``
+        # (engine.validate.make_validation_hook); the best-``best_metric``
+        # epoch is additionally saved to ``work_dir/best`` outside the
+        # retention window
+        self.val_hook = val_hook
+        self.val_interval_epochs = max(1, val_interval_epochs)
+        self.best_metric = best_metric
+        self.best_score = float("-inf")
         self._saved = []
 
         params = variables["params"]
@@ -129,7 +140,33 @@ class Trainer:
             logger.info("epoch %d done: %d images in %.1fs", epoch, n_images, epoch_dt)
             if (epoch + 1) % self.checkpoint_interval_epochs == 0:
                 self._checkpoint(epoch)
+            if self.val_hook is not None and (epoch + 1) % self.val_interval_epochs == 0:
+                self._validate(epoch)
         return self.state
+
+    def _validate(self, epoch: int) -> None:
+        variables = {"params": jax.device_get(self.state.params)}
+        if self.state.batch_stats is not None:
+            variables["batch_stats"] = jax.device_get(self.state.batch_stats)
+        t0 = time.perf_counter()
+        metrics = self.val_hook(variables)
+        dt = time.perf_counter() - t0
+        parts = " ".join(f"{k} {v:.4f}" for k, v in sorted(metrics.items()))
+        logger.info("epoch %d val (%.1fs): %s", epoch, dt, parts)
+        self.history.append({"epoch": epoch, **{f"val_{k}": v for k, v in metrics.items()}})
+        score = metrics.get(self.best_metric)
+        if score is not None and score > self.best_score:
+            self.best_score = float(score)
+            path = os.path.join(self.work_dir, "best")
+            save_checkpoint(
+                path, variables, opt_state=self.state.opt_state,
+                meta={"epoch": epoch + 1, "step": int(self.state.step),
+                      self.best_metric: float(score)},
+            )
+            logger.info(
+                "new best %s %.4f at epoch %d -> %s",
+                self.best_metric, self.best_score, epoch, path,
+            )
 
     def _checkpoint(self, epoch: int) -> None:
         path = os.path.join(self.work_dir, f"epoch_{epoch + 1}")

@@ -1,0 +1,191 @@
+"""Reusable detector evaluation: batched, bucketed inference over a dataset.
+
+Factored out of tools/test.py so the SAME protocol drives both the CLI
+evaluator and the Trainer's in-training validation hook (the mmdetection
+workflow the reference's lineage implies: eval every N epochs, keep the
+best-mAP checkpoint).  The reference itself never shipped an evaluator
+(SURVEY.md §2 #33 [ABSENT]); the protocol here is the COCO/VOC standard.
+
+Design notes (TPU):
+* every (image, augmentation) work item routes to a fixed canvas bucket so
+  the number of distinct XLA programs stays small (one jitted program per
+  (bucket, batch) shape);
+* each bucket flushes through ONE jitted inference fn in fixed-size padded
+  batches — no shape polymorphism, no retraces after warmup.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def make_inference_fn(model, det_cfg) -> Callable:
+    """Jitted ``infer(variables, image, img_shape, scale_factor)`` for any
+    detector family implied by ``det_cfg``."""
+    import jax
+
+    from ..models.detectors import (
+        FasterRCNNConfig,
+        FCOSConfig,
+        SSDConfig,
+        decode_detections,
+        decode_fcos,
+        decode_ssd,
+        faster_rcnn_inference,
+    )
+
+    if isinstance(det_cfg, FasterRCNNConfig):
+
+        @jax.jit
+        def infer(variables, image, img_shape, scale_factor):
+            return faster_rcnn_inference(
+                det_cfg, model, variables, image,
+                img_shapes=img_shape, scale_factors=scale_factor,
+            )
+
+        return infer
+
+    if isinstance(det_cfg, FCOSConfig):
+
+        @jax.jit
+        def infer(variables, image, img_shape, scale_factor):
+            cls, reg, ctr = model.apply(variables, image)
+            return decode_fcos(
+                det_cfg, cls, reg, ctr,
+                img_shapes=img_shape, scale_factors=scale_factor,
+            )
+
+        return infer
+
+    decode_fn = decode_ssd if isinstance(det_cfg, SSDConfig) else decode_detections
+
+    @jax.jit
+    def infer(variables, image, img_shape, scale_factor):
+        cls, reg = model.apply(variables, image)
+        return decode_fn(
+            det_cfg, cls, reg, img_shapes=img_shape, scale_factors=scale_factor
+        )
+
+    return infer
+
+
+def evaluate_detector(
+    model,
+    det_cfg,
+    variables: Dict[str, Any],
+    dataset,
+    batch: int = 8,
+    canvas=None,
+    max_images: Optional[int] = None,
+    tta: bool = False,
+    voc_metric: bool = False,
+    infer: Optional[Callable] = None,
+) -> Dict[str, float]:
+    """Run inference over ``dataset`` (a test-mode dataset) and return the
+    mAP metric dict from the protocol-exact evaluator.
+
+    ``infer`` may be passed in to reuse a jitted program across epochs (the
+    Trainer's validation hook does; re-jitting per epoch would recompile).
+    """
+    import jax.numpy as jnp
+
+    from ..data.collate import pick_canvas
+    from .eval import eval_coco_map, eval_voc_map
+    from .tta import merge_tta_detections
+
+    if infer is None:
+        infer = make_inference_fn(model, det_cfg)
+
+    n = len(dataset) if max_images is None else min(max_images, len(dataset))
+    results: Dict = {}  # (img_idx, aug_idx) -> per-aug detection dict
+    pending: Dict = {}  # bucket (H, W) -> list of (img_idx, aug_idx, img, img_shape)
+    metas_all = [None] * n
+
+    def flush(bucket, items):
+        pad_to = batch
+        padded = np.zeros((pad_to, bucket[0], bucket[1], 3), np.float32)
+        shapes = np.ones((pad_to, 2), np.float32)
+        for j, (_, _, img, img_shape) in enumerate(items):
+            padded[j, : img.shape[0], : img.shape[1]] = img
+            shapes[j] = img_shape
+        res = infer(
+            variables, jnp.asarray(padded), jnp.asarray(shapes),
+            jnp.ones((pad_to,), jnp.float32),  # undo scale in TTA merge
+        )
+        boxes = np.asarray(res.boxes)
+        scores = np.asarray(res.scores)
+        labels = np.asarray(res.labels)
+        valid = np.asarray(res.valid)
+        for j, (img_idx, aug_idx, _, _) in enumerate(items):
+            v = valid[j]
+            results[(img_idx, aug_idx)] = dict(
+                boxes=boxes[j][v], scores=scores[j][v], labels=labels[j][v]
+            )
+
+    done = 0
+    for i in range(n):
+        sample = dataset[i]
+        metas_all[i] = [m.data for m in sample["img_meta"]]
+        for aug_idx, (img, meta) in enumerate(zip(sample["img"], metas_all[i])):
+            if not tta and canvas is not None:
+                bucket = pick_canvas([img.shape[:2]], canvas=canvas)
+            else:
+                bucket = pick_canvas([img.shape[:2]], size_divisor=128)
+            items = pending.setdefault(bucket, [])
+            items.append(
+                (i, aug_idx, img, (meta["img_shape"][0], meta["img_shape"][1]))
+            )
+            if len(items) == batch:
+                flush(bucket, items)
+                pending[bucket] = []
+        done += 1
+        if done % 100 == 0:
+            logger.info("eval: loaded %d/%d images (%d buckets live)", done, n, len(pending))
+    for bucket, items in pending.items():
+        if items:
+            flush(bucket, items)
+
+    detections, annotations = [], []
+    for i in range(n):
+        per_aug = [results[(i, a)] for a in range(len(metas_all[i]))]
+        fused = merge_tta_detections(per_aug, metas_all[i], iou_thr=det_cfg.nms_iou_thr)
+        detections.append(
+            dict(boxes=fused["boxes"], scores=fused["scores"], labels=fused["labels"] + 1)
+        )
+        annotations.append(dataset.get_ann_info(i))
+
+    if voc_metric:
+        out = eval_voc_map(detections, annotations, det_cfg.num_classes, use_07_metric=True)
+    else:
+        out = eval_coco_map(detections, annotations, det_cfg.num_classes)
+    return {k: v for k, v in out.items() if not isinstance(v, dict)}
+
+
+def make_validation_hook(
+    model,
+    det_cfg,
+    dataset,
+    batch: int = 8,
+    canvas=None,
+    max_images: Optional[int] = None,
+    voc_metric: bool = False,
+) -> Callable:
+    """``hook(variables) -> metrics`` for Trainer's in-training validation.
+
+    Builds the jitted inference program ONCE and reuses it every epoch.
+    """
+    infer = make_inference_fn(model, det_cfg)
+
+    def hook(variables: Dict[str, Any]) -> Dict[str, float]:
+        return evaluate_detector(
+            model, det_cfg, variables, dataset,
+            batch=batch, canvas=canvas, max_images=max_images,
+            voc_metric=voc_metric, infer=infer,
+        )
+
+    return hook
