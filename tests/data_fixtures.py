@@ -101,3 +101,41 @@ def make_voc(root, year="voc2007"):
     with open(osp.join(base, "ImageSets/Main/test.txt"), "w") as f:
         f.write("te0\n")
     return base
+
+
+def make_golden_coco(root, n_images=8, size=64, seed=7):
+    """Learnable synthetic detection set for the golden-mAP harness: each
+    image holds 1-2 axis-aligned bright squares on a dark noisy background;
+    class 1 ("red") lights channel 0, class 2 ("green") channel 1.  A tiny
+    detector trained for a few dozen steps must reach high mAP — a banded
+    assert on that mAP is the end-to-end quality regression the ≤0.1-mAP
+    north star gate can have on a dataset-less box."""
+    img_dir = osp.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(n_images):
+        img = rng.integers(0, 40, (size, size, 3), np.uint8)
+        n_obj = 1 + (i % 2)
+        for _ in range(n_obj):
+            s = int(rng.integers(16, 28))
+            x = int(rng.integers(2, size - s - 2))
+            y = int(rng.integers(2, size - s - 2))
+            cls = int(rng.integers(1, 3))  # 1 or 2
+            img[y : y + s, x : x + s, cls - 1] = 220
+            annotations.append({
+                "id": ann_id, "image_id": i + 1, "category_id": cls,
+                "iscrowd": 0, "bbox": [x, y, s, s], "area": s * s,
+                "segmentation": [[x, y, x + s, y, x + s, y + s, x, y + s]],
+            })
+            ann_id += 1
+        name = f"g{i}.png"  # png: lossless, keeps the square edges crisp
+        assert cv2.imwrite(osp.join(img_dir, name), img)
+        images.append({"id": i + 1, "file_name": name, "height": size, "width": size})
+    categories = [{"id": 1, "name": "red"}, {"id": 2, "name": "green"}]
+    ann_file = osp.join(root, "golden.json")
+    with open(ann_file, "w") as f:
+        json.dump({"images": images, "annotations": annotations,
+                   "categories": categories}, f)
+    return ann_file, img_dir

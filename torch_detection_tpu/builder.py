@@ -238,6 +238,7 @@ def build_train_objects(cfg, data_parallel: int = 1) -> Tuple[Any, RetinaNetConf
         max_gts=data_cfg.get("max_gts", 100),
         canvas=tuple(data_cfg["canvas"]) if data_cfg.get("canvas") else None,
         size_divisor=data_cfg["train"].get("size_divisor", 32) or 32,
+        workers=int(data_cfg.get("workers_per_host", 0)),
     )
 
     opt_cfg = cfg.get("optimizer", {})

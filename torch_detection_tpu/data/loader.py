@@ -31,6 +31,7 @@ class DataLoader:
         collate_fn: Callable,
         prefetch: int = 2,
         drop_last: bool = False,
+        workers: int = 0,
     ):
         self.dataset = dataset
         self.sampler = sampler
@@ -38,6 +39,15 @@ class DataLoader:
         self.collate_fn = collate_fn
         self.prefetch = prefetch
         self.drop_last = drop_last
+        # ``workers`` > 0 decodes samples through a thread pool — the analog
+        # of the reference's ``workers_per_gpu`` worker *processes*
+        # (build_dataloader.py:8-13,39-46).  Threads suffice here because the
+        # decode path is cv2 + numpy, which release the GIL for the heavy
+        # work (tests/test_pipeline.py proves the release empirically), so
+        # the pool scales across host cores without pickling the dataset or
+        # paying process startup/IPC.  Sample order is preserved (in-order
+        # future completion), so determinism matches workers=0 exactly.
+        self.workers = workers
 
     def set_epoch(self, epoch: int) -> None:
         if hasattr(self.sampler, "set_epoch"):
@@ -49,10 +59,36 @@ class DataLoader:
         n = len(self.sampler)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _samples(self) -> Iterator:
+        if self.workers <= 0:
+            for idx in self.sampler:
+                yield self.dataset[int(idx)]
+            return
+        # bounded sliding window of futures: at most ~2x workers samples
+        # in flight (ThreadPoolExecutor.map would eagerly submit the whole
+        # epoch), results consumed in submission order
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        window = 2 * self.workers
+        with ThreadPoolExecutor(max_workers=self.workers) as ex:
+            pending: deque = deque()
+            it = iter(self.sampler)
+            try:
+                for idx in it:
+                    pending.append(ex.submit(self.dataset.__getitem__, int(idx)))
+                    if len(pending) >= window:
+                        yield pending.popleft().result()
+                while pending:
+                    yield pending.popleft().result()
+            finally:
+                for f in pending:
+                    f.cancel()
+
     def _produce(self) -> Iterator:
         buf = []
-        for idx in self.sampler:
-            buf.append(self.dataset[int(idx)])
+        for sample in self._samples():
+            buf.append(sample)
             if len(buf) == self.batch_size:
                 yield self.collate_fn(buf)
                 buf = []
@@ -99,6 +135,7 @@ def build_dataloader(
     canvas_buckets: Optional[Sequence[Tuple[int, int]]] = None,
     size_divisor: int = 32,
     prefetch: int = 2,
+    workers: int = 0,
     collate_fn: Optional[Callable] = None,
 ) -> DataLoader:
     """Build a loader with grouped (or distributed grouped) sampling.
@@ -131,4 +168,5 @@ def build_dataloader(
         batch_size=sample_per_replica,
         collate_fn=collate_fn,
         prefetch=prefetch,
+        workers=workers,
     )
