@@ -8,6 +8,10 @@ model = dict(
     type="TwoStageDetector",
     backbone=dict(
         type="ResNet",
+        # stem_s2d deliberately OFF: at the two-stage batch (b4) XLA already
+        # picks a good 7x7s2 algorithm and the s2d wire measured slightly
+        # slower e2e (124.4 -> 121.3 img/s, r3); the win is batch-dependent
+        # (the 7x7 stem is only pessimized at b8+: 4.9 ms vs 1.3 folded).
         depth=50,
         num_stages=4,
         out_indices=(0, 1, 2, 3),

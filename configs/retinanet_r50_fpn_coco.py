@@ -8,6 +8,7 @@ model = dict(
     type="SingleStageDetector",
     backbone=dict(
         type="ResNet",
+        stem_s2d=True,  # folded 7x7 stem on the s2d wire (r3: 4.9 -> 1.3 ms @ b8)
         depth=50,
         num_stages=4,
         out_indices=(1, 2, 3),

@@ -167,3 +167,45 @@ class TestMobileNetV2TorchParity:
                 want[lvl].numpy().transpose(0, 2, 3, 1),
                 atol=1e-4, rtol=1e-4, err_msg=f"level {lvl}",
             )
+
+
+class TestS2DStem:
+    """stem_s2d: folded 4x4 stem == canonical 7x7 stem, same param tree."""
+
+    def test_equivalence_and_param_tree(self, rng):
+        import jax
+
+        from torch_detection_tpu.models.backbones.resnet import ResNet
+
+        x = jnp.asarray(rng.normal(size=(2, 64, 96, 3)).astype(np.float32))
+        m0 = ResNet(depth=18, num_stages=2, out_indices=(0, 1))
+        m1 = ResNet(depth=18, num_stages=2, out_indices=(0, 1), stem_s2d=True)
+        v0 = jax.jit(m0.init)(jax.random.PRNGKey(0), x)
+        v1 = jax.jit(m1.init)(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+        # same params -> same features, via both input layouts
+        from torch_detection_tpu.models.backbones.resnet import space_to_depth_2x2
+
+        for inp in (x, space_to_depth_2x2(x)):
+            for a, b in zip(m0.apply(v0, x), m1.apply(v0, inp)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-5
+                )
+
+    def test_gradients_flow(self, rng):
+        import jax
+
+        from torch_detection_tpu.models.backbones.resnet import ResNet
+
+        x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+        m = ResNet(depth=18, num_stages=1, out_indices=(0,), stem_s2d=True)
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+
+        def loss(params):
+            (out,) = m.apply({"params": params, "batch_stats": v.get("batch_stats", {})}, x)
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        stem_g = np.asarray(g["stem"]["conv"]["kernel"])
+        assert stem_g.shape == (7, 7, 3, 64)
+        assert np.abs(stem_g).max() > 0

@@ -95,9 +95,10 @@ def main() -> None:
     mean = tuple(split.get("img_means", (123.675, 116.28, 103.53)))
     std = tuple(split.get("img_stds", (58.395, 57.12, 57.375)))
 
+    s2d_wire = bool(cfg["model"].get("backbone", {}).get("stem_s2d", False))
     exported = export_serving(
         model, det_cfg, variables, args.batch, canvas,
-        mean=mean, std=std, compute_dtype=compute_dtype,
+        mean=mean, std=std, compute_dtype=compute_dtype, s2d_wire=s2d_wire,
     )
     save_serving(exported, args.out)
     print(
@@ -108,11 +109,16 @@ def main() -> None:
     if args.check:
         rng = np.random.default_rng(0)
         img = rng.integers(0, 255, (args.batch, *canvas, 3), dtype=np.uint8)
+        if s2d_wire:
+            from torch_detection_tpu.ops.preprocess import space_to_depth_2x2_np
+
+            img = space_to_depth_2x2_np(img)
         shp = np.tile(np.asarray([[canvas[0], canvas[1]]], np.int32), (args.batch, 1))
         sf = np.ones((args.batch,), np.float32)
         served = load_serving(args.out)(img, shp, sf)
         direct = jax.jit(
-            make_serving_fn(model, det_cfg, variables, mean, std, compute_dtype)
+            make_serving_fn(model, det_cfg, variables, mean, std, compute_dtype,
+                            s2d_wire=s2d_wire)
         )(jnp.asarray(img), jnp.asarray(shp), jnp.asarray(sf))
         for k in direct:
             np.testing.assert_allclose(

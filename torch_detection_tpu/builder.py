@@ -239,6 +239,9 @@ def build_train_objects(cfg, data_parallel: int = 1) -> Tuple[Any, RetinaNetConf
         canvas=tuple(data_cfg["canvas"]) if data_cfg.get("canvas") else None,
         size_divisor=data_cfg["train"].get("size_divisor", 32) or 32,
         workers=int(data_cfg.get("workers_per_host", 0)),
+        # stem_s2d backbones take the space-to-depth wire straight from the
+        # loader (host-side relayout is free; on-device it is not)
+        s2d=bool(cfg["model"].get("backbone", {}).get("stem_s2d", False)),
     )
 
     opt_cfg = cfg.get("optimizer", {})

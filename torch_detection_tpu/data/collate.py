@@ -57,8 +57,16 @@ def collate(
     canvas: Optional[Tuple[int, int]] = None,
     canvas_buckets: Optional[Sequence[Tuple[int, int]]] = None,
     size_divisor: int = 32,
+    s2d: bool = False,
 ) -> Dict:
-    """Collate training samples (dicts of DataContainers) into one batch."""
+    """Collate training samples (dicts of DataContainers) into one batch.
+
+    ``s2d=True`` ships the image batch on the 2x2 space-to-depth wire
+    (B, H/2, W/2, 4C) for ``stem_s2d`` backbones — the relayout is a cheap
+    numpy strided copy here on the host; done on-device it costs ~4 ms per
+    b8 800x1216 batch (measured r3).  Geometry tensors (gt, img_shape,
+    scale_factor) stay in original coordinates.
+    """
     assert len(samples) > 0
     imgs = [s["img"].data for s in samples]
     hw = pick_canvas([im.shape[:2] for im in imgs], canvas, canvas_buckets, size_divisor)
@@ -128,6 +136,11 @@ def collate(
             if n:
                 masks[i, :n, : m.shape[1], : m.shape[2]] = m[:n]
         batch["gt_masks"] = masks
+
+    if s2d:
+        from ..ops.preprocess import space_to_depth_2x2_np
+
+        batch["image"] = space_to_depth_2x2_np(batch["image"])
     return batch
 
 

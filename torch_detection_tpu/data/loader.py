@@ -136,6 +136,7 @@ def build_dataloader(
     size_divisor: int = 32,
     prefetch: int = 2,
     workers: int = 0,
+    s2d: bool = False,
     collate_fn: Optional[Callable] = None,
 ) -> DataLoader:
     """Build a loader with grouped (or distributed grouped) sampling.
@@ -160,6 +161,7 @@ def build_dataloader(
                 canvas=canvas,
                 canvas_buckets=canvas_buckets,
                 size_divisor=size_divisor,
+                s2d=s2d,
             )
 
     return DataLoader(

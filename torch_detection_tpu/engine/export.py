@@ -43,6 +43,33 @@ def _normalize_pad(images_u8, img_shapes, mean, std, out_dtype):
     return jnp.where(rows & cols, x, 0.0).astype(out_dtype)
 
 
+def _normalize_pad_s2d(images_s2d_u8, img_shapes, mean, std, out_dtype):
+    """s2d uint8 wire -> normalized ``out_dtype`` with zeroed padding.
+
+    Serving twin of data/collate's host-side space-to-depth: the caller
+    ships (B, H/2, W/2, 4C) u8 canvases (ops.preprocess.space_to_depth_2x2_np
+    on the plain canvas), avoiding the ~4 ms on-device relayout per b8
+    800x1216 batch that an in-graph transpose would cost (measured r3).
+    """
+    if jax.devices()[0].platform == "tpu":
+        from ..ops.preprocess import fused_normalize_pad_s2d
+
+        return fused_normalize_pad_s2d(
+            images_s2d_u8, img_shapes, mean=mean, std=std, out_dtype=out_dtype
+        )
+    b, h2, w2, c4 = images_s2d_u8.shape
+    c = c4 // 4
+    mean12 = jnp.tile(jnp.asarray(mean, jnp.float32), 4)
+    std12 = jnp.tile(jnp.asarray(std, jnp.float32), 4)
+    x = (images_s2d_u8.astype(jnp.float32) - mean12) / std12
+    ch = jnp.arange(c4)
+    p = (ch // (2 * c))[None, None, None, :]
+    q = ((ch % (2 * c)) // c)[None, None, None, :]
+    rows = 2 * jnp.arange(h2)[None, :, None, None] + p < img_shapes[:, 0][:, None, None, None]
+    cols = 2 * jnp.arange(w2)[None, None, :, None] + q < img_shapes[:, 1][:, None, None, None]
+    return jnp.where(rows & cols, x, 0.0).astype(out_dtype)
+
+
 def make_serving_fn(
     model,
     det_cfg,
@@ -50,8 +77,13 @@ def make_serving_fn(
     mean: Tuple[float, ...] = DEFAULT_MEAN,
     std: Tuple[float, ...] = DEFAULT_STD,
     compute_dtype=jnp.bfloat16,
+    s2d_wire: bool = False,
 ) -> Callable:
-    """Closed-over-weights inference callable (u8 canvas -> detections)."""
+    """Closed-over-weights inference callable (u8 canvas -> detections).
+
+    ``s2d_wire=True`` (for ``stem_s2d`` backbones): the image input is the
+    2x2 space-to-depth u8 canvas (B, H/2, W/2, 12); ``img_shape`` stays in
+    original coordinates."""
     from ..models.detectors import (
         FasterRCNNConfig,
         FCOSConfig,
@@ -70,7 +102,10 @@ def make_serving_fn(
     is_fcos = isinstance(det_cfg, FCOSConfig)
 
     def serve(image_u8, img_shape, scale_factor):
-        x = _normalize_pad(image_u8, img_shape, mean, std, compute_dtype)
+        if s2d_wire:
+            x = _normalize_pad_s2d(image_u8, img_shape, mean, std, compute_dtype)
+        else:
+            x = _normalize_pad(image_u8, img_shape, mean, std, compute_dtype)
         shapes_f = img_shape.astype(jnp.float32)
         if is_mask:
             d = mask_rcnn_inference(
@@ -119,15 +154,24 @@ def export_serving(
     mean: Tuple[float, ...] = DEFAULT_MEAN,
     std: Tuple[float, ...] = DEFAULT_STD,
     compute_dtype=jnp.bfloat16,
+    s2d_wire: bool = False,
 ):
     """Lower + export the serving function for the current platform.
 
     Returns a ``jax.export.Exported``; ``.serialize()`` gives the portable
-    artifact bytes.
+    artifact bytes.  With ``s2d_wire`` the image input spec becomes the
+    (B, H/2, W/2, 12) space-to-depth u8 canvas.
     """
-    serve = make_serving_fn(model, det_cfg, variables, mean, std, compute_dtype)
+    serve = make_serving_fn(model, det_cfg, variables, mean, std, compute_dtype,
+                            s2d_wire=s2d_wire)
+    if s2d_wire:
+        img_spec = jax.ShapeDtypeStruct(
+            (batch, canvas[0] // 2, canvas[1] // 2, 12), jnp.uint8
+        )
+    else:
+        img_spec = jax.ShapeDtypeStruct((batch, canvas[0], canvas[1], 3), jnp.uint8)
     specs = (
-        jax.ShapeDtypeStruct((batch, canvas[0], canvas[1], 3), jnp.uint8),
+        img_spec,
         jax.ShapeDtypeStruct((batch, 2), jnp.int32),
         jax.ShapeDtypeStruct((batch,), jnp.float32),
     )

@@ -132,10 +132,96 @@ ARCH_SETTINGS = {
 }
 
 
+def space_to_depth_2x2(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel order (p, q, c).
+
+    The host-side wire transform behind ``stem_s2d`` (numpy twin in
+    data/collate.py): done on u8 before the device transfer it is free;
+    done on-device it is a minor-dim transpose XLA runs at ~12 GB/s
+    (measured r3: 4.3 ms at b8 800x1216 bf16) — only use this jnp version
+    off-TPU or in tests.
+    """
+    b, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+class _FoldedStemConv(nn.Module):
+    """The 7x7 stride-2 stem conv evaluated on the 2x2 space-to-depth wire.
+
+    XLA runs the canonical 7x7s2 conv on 3 channels at 3.8% MFU (4.86 ms at
+    b8 800x1216 bf16 — measured r3, the single most expensive op in the R50
+    forward); the SAME contraction expressed as a 4x4 stride-1 conv over
+    (H/2, W/2, 12) runs in 1.27 ms.  The logical parameter stays the
+    torchvision (7, 7, cin, 64) kernel — checkpoints and the torch importer
+    are unaffected — and is re-indexed into the folded (4, 4, 4cin, 64)
+    kernel at trace time:  with torch pad=3, original tap (dy, dx) feeds
+    folded tap (a, b) and s2d channel (p, q, c) where dy = 2a + p - 1,
+    dx = 2b + q - 1 (the (a=0, p=0) row/column falls outside the 7-tap
+    support and is zero).  Folded padding ((2, 1), (2, 1)) reproduces the
+    original window exactly; the only numeric delta vs the unfolded conv is
+    accumulation order.
+    """
+
+    features: int = 64
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1] // 4
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, cin, self.features),
+            jnp.float32,
+        )
+        dtype = self.dtype or x.dtype
+        k8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        w44 = (
+            k8.reshape(4, 2, 4, 2, cin, self.features)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 4 * cin, self.features)
+        )
+        return jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            w44.astype(dtype),
+            (1, 1),
+            ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
+class S2DStem(nn.Module):
+    """Drop-in stem (conv -> norm -> relu) on the s2d wire; param tree is
+    identical to the ConvModule stem (stem/conv/kernel, stem/norm/...)."""
+
+    norm_cfg: Optional[dict] = None
+    dtype: Optional[Dtype] = None
+
+    def setup(self):
+        self.conv = _FoldedStemConv(dtype=self.dtype, name="conv")
+        self.norm = build_norm(self.norm_cfg, dtype=self.dtype, name="norm")
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = self.conv(x)
+        if self.norm is not None:
+            if isinstance(self.norm, nn.BatchNorm):
+                x = self.norm(x, use_running_average=not train)
+            else:
+                x = self.norm(x)
+        return nn.relu(x)
+
+
 @BACKBONES.register_module
 class ResNet(nn.Module):
     """Multi-scale feature extractor: returns features at ``out_indices``
-    (C2..C5, strides 4/8/16/32)."""
+    (C2..C5, strides 4/8/16/32).
+
+    ``stem_s2d=True`` switches the stem to the space-to-depth formulation
+    (see ``_FoldedStemConv``): the input may be either the s2d wire
+    (B, H/2, W/2, 4*cin) — the fast path, produced by the host/loader — or
+    a plain image (B, H, W, cin), converted in-model (slow on TPU)."""
 
     depth: int = 50
     num_stages: int = 4
@@ -149,6 +235,7 @@ class ResNet(nn.Module):
     se_reduction: int = 16
     norm_cfg: Optional[dict] = None
     remat: bool = False  # jax.checkpoint each block: trade FLOPs for HBM
+    stem_s2d: bool = False  # folded stem on the 2x2 space-to-depth wire
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -163,8 +250,13 @@ class ResNet(nn.Module):
         norm = self.norm_cfg or {"type": "FrozenBN"}
 
         # stem: 7x7 s2 -> norm -> relu -> maxpool 3x3 s2 (overall stride 4)
-        x = ConvModule(64, 7, stride=2, padding=3, norm_cfg=norm, act="relu",
-                       dtype=self.dtype, name="stem")(x, train=train)
+        if self.stem_s2d:
+            if x.shape[-1] not in (12,):  # plain image: fold in-model (slow on TPU)
+                x = space_to_depth_2x2(x)
+            x = S2DStem(norm_cfg=norm, dtype=self.dtype, name="stem")(x, train=train)
+        else:
+            x = ConvModule(64, 7, stride=2, padding=3, norm_cfg=norm, act="relu",
+                           dtype=self.dtype, name="stem")(x, train=train)
         x = max_pool_same_torch(x, window=3, stride=2, padding=1)
         if self.frozen_stages >= 0:
             x = jax.lax.stop_gradient(x)

@@ -215,15 +215,30 @@ class SELayer(nn.Module):
 
 
 def max_pool_same_torch(x: jax.Array, window: int, stride: int, padding: int) -> jax.Array:
-    """torch-style MaxPool2d (explicit symmetric padding, -inf fill), NHWC."""
-    pads = ((0, 0), (padding, padding), (padding, padding), (0, 0))
-    return jax.lax.reduce_window(
+    """torch-style MaxPool2d (explicit symmetric padding, -inf fill), NHWC.
+
+    Decomposed into H-then-W 1-D reduce_windows: max is separable, so the
+    result is bit-identical to the joint 2-D window, and the split runs
+    ~25% faster on TPU (measured r3 at the R50 stem shape: 2.10 -> 1.68 ms
+    for 3x3 s2 at b8 400x608x64 bf16; a Pallas kernel attempt bottomed out
+    at 1.47 ms for its DMAs alone and was not worth the complexity).
+    """
+    init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    y = jax.lax.reduce_window(
         x,
-        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        init,
         jax.lax.max,
-        window_dimensions=(1, window, window, 1),
-        window_strides=(1, stride, stride, 1),
-        padding=pads,
+        window_dimensions=(1, window, 1, 1),
+        window_strides=(1, stride, 1, 1),
+        padding=((0, 0), (padding, padding), (0, 0), (0, 0)),
+    )
+    return jax.lax.reduce_window(
+        y,
+        init,
+        jax.lax.max,
+        window_dimensions=(1, 1, window, 1),
+        window_strides=(1, 1, stride, 1),
+        padding=((0, 0), (0, 0), (padding, padding), (0, 0)),
     )
 
 
