@@ -63,43 +63,67 @@ def mask_targets_for_rois(
 ) -> jax.Array:
     """Crop+resize each roi's matched gt mask to (R, mask_size, mask_size).
 
-    TPU formulation: build a small avg-pool pyramid over the mask raster
-    (masks as a G-channel feature map) and run the windowed multilevel
-    RoIAlign on it, routing each roi to the level where its extent is
-    0.5-1 cells per bilinear sample (``finest_scale=mask_size``) — Nyquist
-    for the (mask_size, mask_size) target.  The naive full-resolution
-    formulation materialized an (R, H, W) f32 tensor (~1 GB per image at
-    COCO sizes) and issued millions of scalar gathers — ~350 ms of a
-    584 ms Mask R-CNN train step; this is ~20x cheaper with target quality
-    matching cv2's resize-then-threshold convention (bilinear on a mean
-    pyramid then threshold 0.5 == area-weighted majority vote).
+    TPU formulation: build a small avg-pool pyramid over the mask raster,
+    keep it CHANNELS-LEADING (G, H_tot, w_max), and crop each roi's window
+    from its MATCHED gt channel only — ``dynamic_slice`` on the leading dim
+    is a contiguous block copy, so selecting the channel before the
+    interpolation matmuls cuts the contraction work by G (=max_gts, ~100x)
+    vs aligning all channels and ``take_along_axis``-ing afterwards (which
+    cost ~60 ms of the 230 ms b4 Mask R-CNN train step; this path is ~1 ms).
+    Rois route to the level where their extent is 0.5-1 cells per bilinear
+    sample (``finest_scale=mask_size``) — Nyquist for the target raster.
+    The naive full-resolution formulation before the pyramid materialized
+    an (R, H, W) f32 tensor (~1 GB per image at COCO sizes) — ~350 ms.
+    Target quality matches cv2's resize-then-threshold convention
+    (bilinear on a mean pyramid then threshold 0.5 == area-weighted
+    majority vote).  Per-channel numerics are identical to the all-channel
+    formulation (the channel dim is never contracted).
     """
-    from ...ops.roi_align import multilevel_roi_align_fused
+    from ...ops.roi_align import _window_geometry
 
     g, h, w = gt_masks.shape
     num_levels = 6
-    feats = [jnp.moveaxis(gt_masks, 0, -1).astype(jnp.bfloat16)]  # (H, W, G)
+    s_ratio = 2
+    # crop = c*M bounds the exactly-sampled roi aspect ratio at
+    # ~((c*M-1)/(2*M))^2: 4*M covers aspect <= ~3.9; beyond it bilinear
+    # samples clamp at the crop edge (quality degrades only at far tips).
+    crop = 4 * mask_size
+    feats = [gt_masks.astype(jnp.bfloat16)]  # (G, H, W) channels-leading
     for _ in range(num_levels - 1):
         f = feats[-1]
-        ph, pw = (-f.shape[0]) % 2, (-f.shape[1]) % 2
-        f = jnp.pad(f, ((0, ph), (0, pw), (0, 0)))
-        f = f.reshape(f.shape[0] // 2, 2, f.shape[1] // 2, 2, g).mean((1, 3))
+        ph, pw = (-f.shape[1]) % 2, (-f.shape[2]) % 2
+        f = jnp.pad(f, ((0, 0), (0, ph), (0, pw)))
+        f = f.reshape(g, f.shape[1] // 2, 2, f.shape[2] // 2, 2).mean((2, 4))
         feats.append(f)
     strides = tuple(2 ** i for i in range(num_levels))
-    aligned = multilevel_roi_align_fused(
-        feats, rois, strides, out_size=mask_size, sampling_ratio=2,
-        finest_scale=float(max(mask_size, 2)),
-        # crop = c*M bounds the exactly-sampled roi aspect ratio at
-        # ~((c*M-1)/(2*M))^2: 3*M covered aspect <= ~2.2 (edge-clamping the
-        # long end of people/trains/skis); 4*M raises the bound to ~3.9 for
-        # a ~1.3x cost on this (train-only, G-channel) fused path.  Rois
-        # beyond the bound still produce targets, with bilinear samples
-        # clamped at the crop edge — quality degrades only at the far tips.
-        crop=4 * mask_size,
-    )  # (R, M, M, G)
-    sel = jnp.take_along_axis(
-        aligned.astype(jnp.float32), matched_gt[:, None, None, None], axis=-1
-    )[..., 0]
+    h_pads, w_max, starts, wy, wx = _window_geometry(
+        [f.shape[1:] for f in feats], rois, strides, out_size=mask_size,
+        sampling_ratio=s_ratio, finest_scale=float(max(mask_size, 2)), crop=crop,
+    )
+    padded = [
+        jnp.pad(f, ((0, 0), (0, h_pad - f.shape[1]), (0, w_max - f.shape[2])))
+        for f, h_pad in zip(feats, h_pads)
+    ]
+    flat = jnp.concatenate(padded, axis=1)  # (G, H_tot, w_max)
+
+    def one(wy_r, wx_r, r0, c0, g_r):
+        window = jax.lax.dynamic_slice(
+            flat, (g_r, r0, c0), (1, crop, crop)
+        )[0]
+        tmp = jnp.einsum(
+            "sh,hw->sw", wy_r.astype(flat.dtype), window,
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.einsum(
+            "sw,tw->st", tmp.astype(flat.dtype), wx_r.astype(flat.dtype),
+            preferred_element_type=jnp.float32,
+        )
+
+    samples = jax.vmap(one)(
+        wy, wx, starts[:, 0], starts[:, 1], matched_gt.astype(jnp.int32)
+    )  # (R, S, S)
+    r = rois.shape[0]
+    sel = samples.reshape(r, mask_size, s_ratio, mask_size, s_ratio).mean((2, 4))
     return (sel >= 0.5).astype(jnp.float32)
 
 

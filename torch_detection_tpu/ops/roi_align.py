@@ -127,8 +127,8 @@ def multilevel_roi_align(
     return out
 
 
-def _prepare_windows(
-    feats: Sequence[jax.Array],  # per level (H_l, W_l, C), one image
+def _window_geometry(
+    shapes: Sequence[Tuple[int, int]],  # per level (H_l, W_l)
     rois: jax.Array,  # (R, 4) image coords
     strides: Sequence[int],
     out_size: int,
@@ -138,39 +138,35 @@ def _prepare_windows(
     crop_x: Optional[int] = None,
     x_align: int = 1,
     y_align: int = 1,
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Shared window/weight prep for the fused jnp and Pallas RoIAlign:
-    returns (flat pyramid (H_tot, w_max, C), starts (R, 2) int32 incl. the
-    level row offset, wy (R, S, crop), wx (R, S, crop_x) bilinear weights).
+) -> Tuple[Sequence[int], int, jax.Array, jax.Array, jax.Array]:
+    """Window coordinate/weight math shared by every window-cropped RoIAlign
+    (fused jnp, Pallas, mask targets) — shapes-only, no feature data.
 
-    ``x_align``/``y_align`` floor the column/row origins to a multiple
-    (Mosaic requires aligned offsets when slicing a tiled dim); pair an
-    alignment with a crop widened by it so coverage is preserved.  With
-    ``y_align`` the per-level row offsets in the flattened pyramid are also
-    rounded up so absolute row starts stay aligned."""
-    num_levels = len(feats)
-    s = out_size * sampling_ratio
+    Returns (per-level padded heights ``h_pads``, padded width ``w_max``,
+    starts (R, 2) int32 incl. the level row offset, wy (R, S, crop),
+    wx (R, S, crop_x) bilinear weights).  The flattened pyramid the starts
+    index into pads each level's width to ``w_max``, its height to
+    ``h_pads[l]``, and concatenates along rows."""
+    num_levels = len(shapes)
     crop_x = crop_x or crop
 
-    # flattened pyramid: pad widths to the max, heights to >= crop, concat rows
-    w_max = max(max(f.shape[1] for f in feats), crop, crop_x)
-    padded = []
+    w_max = max(max(w_l for _, w_l in shapes), crop, crop_x)
     row_offsets = []
+    h_pads = []
     heights = []
     widths = []
     off = 0
-    for f in feats:
-        h_l, w_l = f.shape[:2]
+    for h_l, w_l in shapes:
         h_pad = max(h_l, crop)
         if y_align > 1:
             h_pad = ((h_pad + y_align - 1) // y_align) * y_align
-        padded.append(jnp.pad(f, ((0, h_pad - h_l), (0, w_max - w_l), (0, 0))))
         row_offsets.append(off)
+        h_pads.append(h_pad)
         heights.append(h_l)
         widths.append(w_l)
         off += h_pad
-    flat = jnp.concatenate(padded, axis=0)  # (H_tot, w_max, C)
 
+    s = out_size * sampling_ratio
     levels = map_rois_to_levels(rois, num_levels, finest_scale)  # (R,)
     stride_arr = jnp.asarray(strides, jnp.float32)[levels]  # (R,)
     h_arr = jnp.asarray(heights, jnp.float32)[levels]
@@ -212,7 +208,40 @@ def _prepare_windows(
 
     row_start = (off_arr + origin_y).astype(jnp.int32)  # (R,)
     col_start = origin_x.astype(jnp.int32)
-    return flat, jnp.stack([row_start, col_start], axis=-1), wy, wx
+    return h_pads, w_max, jnp.stack([row_start, col_start], axis=-1), wy, wx
+
+
+def _prepare_windows(
+    feats: Sequence[jax.Array],  # per level (H_l, W_l, C), one image
+    rois: jax.Array,  # (R, 4) image coords
+    strides: Sequence[int],
+    out_size: int,
+    sampling_ratio: int,
+    finest_scale: float,
+    crop: int,
+    crop_x: Optional[int] = None,
+    x_align: int = 1,
+    y_align: int = 1,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Shared window/weight prep for the fused jnp and Pallas RoIAlign:
+    returns (flat pyramid (H_tot, w_max, C), starts (R, 2) int32 incl. the
+    level row offset, wy (R, S, crop), wx (R, S, crop_x) bilinear weights).
+
+    ``x_align``/``y_align`` floor the column/row origins to a multiple
+    (Mosaic requires aligned offsets when slicing a tiled dim); pair an
+    alignment with a crop widened by it so coverage is preserved.  With
+    ``y_align`` the per-level row offsets in the flattened pyramid are also
+    rounded up so absolute row starts stay aligned."""
+    h_pads, w_max, starts, wy, wx = _window_geometry(
+        [f.shape[:2] for f in feats], rois, strides, out_size, sampling_ratio,
+        finest_scale, crop, crop_x, x_align, y_align,
+    )
+    padded = [
+        jnp.pad(f, ((0, h_pad - f.shape[0]), (0, w_max - f.shape[1]), (0, 0)))
+        for f, h_pad in zip(feats, h_pads)
+    ]
+    flat = jnp.concatenate(padded, axis=0)  # (H_tot, w_max, C)
+    return flat, starts, wy, wx
 
 
 def _weight_support(w: jax.Array) -> jax.Array:
