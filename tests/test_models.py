@@ -40,6 +40,46 @@ class TestLayers:
         vars2 = m2.init(jax.random.PRNGKey(0), x)
         assert "bias" in vars2["params"]["conv"]
 
+    def test_group_merged_conv_matches_grouped(self, rng):
+        """Block-diagonal merged grouped conv == native grouped conv, and the
+        param tree matches nn.Conv's (checkpoint compatibility)."""
+        from flax import linen as nn
+
+        from torch_detection_tpu.models.layers import (
+            GroupMergedConv,
+            merged_group_count,
+        )
+
+        # the merge rule: largest divisor of groups with >=128-wide merged
+        # input; depthwise and dense untouched
+        assert merged_group_count(128, 32) == 1
+        assert merged_group_count(256, 32) == 2
+        assert merged_group_count(512, 32) == 4
+        assert merged_group_count(1024, 32) == 8
+        assert merged_group_count(240, 3) == 1
+        assert merged_group_count(960, 3) == 3
+        assert merged_group_count(64, 64) == 64  # depthwise
+        assert merged_group_count(64, 1) == 1
+
+        x = jnp.asarray(rng.normal(size=(2, 9, 11, 256)), jnp.float32)
+        ref = nn.Conv(128, (3, 3), padding=[(1, 1), (1, 1)],
+                      feature_group_count=32, use_bias=True)
+        vars_ = jax.jit(ref.init)(jax.random.PRNGKey(0), x)
+        want = ref.apply(vars_, x)
+        for merge in (False, True):
+            m = GroupMergedConv(
+                features=128, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
+                groups=32, use_bias=True, merge=merge,
+            )
+            assert (
+                jax.tree_util.tree_structure(jax.jit(m.init)(jax.random.PRNGKey(0), x))
+                == jax.tree_util.tree_structure(vars_)
+            )
+            got = m.apply(vars_, x)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+            )
+
     def test_frozen_bn_math(self):
         x = jnp.ones((1, 2, 2, 3)) * 4.0
         m = FrozenBatchNorm()
