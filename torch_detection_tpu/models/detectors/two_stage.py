@@ -114,11 +114,15 @@ def _sample_fixed(
     k_pos, k_all = jax.random.split(rng)
     u = jax.random.uniform(k_all, (n,), minval=0.0, maxval=0.5)
     num_pos_wanted = int(num * pos_fraction)
-    # cap positives at the quota: keep only the num_pos_wanted highest-priority
+    # cap positives at the quota: keep the num_pos_wanted highest-scored.
+    # top_k of the quota + a threshold compare selects the same set as a
+    # full argsort-rank (uniform scores never tie in practice) at a
+    # fraction of the cost — the argsort over all N anchors was ~7 ms of
+    # the b4 FRCNN train fwd (r3).  When fewer than the quota are positive
+    # the k-th score is the -1.0 fill, and the max() keeps all positives.
     pos_rank_scores = jnp.where(pos_mask, jax.random.uniform(k_pos, (n,)), -1.0)
-    pos_order = jnp.argsort(-pos_rank_scores)
-    pos_ranks = jnp.zeros((n,), jnp.int32).at[pos_order].set(jnp.arange(n, dtype=jnp.int32))
-    pos_sel = pos_mask & (pos_ranks < num_pos_wanted)
+    kth = jax.lax.top_k(pos_rank_scores, num_pos_wanted)[0][-1]
+    pos_sel = pos_mask & (pos_rank_scores >= jnp.maximum(kth, 0.0))
 
     priority = jnp.where(pos_sel, 2.0 + u, jnp.where(neg_mask, 1.0 + u, u))
     top_p, idx = jax.lax.top_k(priority, num)
