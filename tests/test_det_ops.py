@@ -14,6 +14,8 @@ from torch_detection_tpu.ops import (
     delta2bbox,
     grid_anchors,
     multiclass_nms,
+    gather_rows,
+    take_per_row,
     nms,
     sigmoid_focal_loss,
     smooth_l1_loss,
@@ -380,3 +382,47 @@ class TestLosses:
         # IoU=0, enclosure 30x10=300, union 200 -> giou = 0 - 100/300
         loss = float(iou_loss(a, b, mode="giou"))
         np.testing.assert_allclose(loss, 1 + 100.0 / 300.0, rtol=1e-5)
+
+
+class TestTpuGather:
+    """ops/tpu_gather one-hot selections must be EXACT vs plain indexing."""
+
+    def test_gather_rows_float_exact(self):
+        rng = np.random.default_rng(0)
+        table = jnp.asarray(rng.uniform(0, 1333, (100, 4)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 100, (5000,), dtype=np.int32))
+        got = gather_rows(table, idx)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(table)[np.asarray(idx)])
+
+    def test_gather_rows_int_and_1d(self):
+        rng = np.random.default_rng(1)
+        labels = jnp.asarray(rng.integers(0, 81, (37,), dtype=np.int32))
+        idx = jnp.asarray(rng.integers(0, 37, (999,), dtype=np.int32))
+        got = gather_rows(labels, idx)
+        assert got.dtype == jnp.int32
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(labels)[np.asarray(idx)])
+
+    def test_gather_rows_out_of_range_is_zero(self):
+        table = jnp.arange(12, dtype=jnp.float32).reshape(4, 3)
+        got = gather_rows(table, jnp.array([0, 7, -1], jnp.int32))
+        np.testing.assert_array_equal(np.asarray(got[1]), np.zeros(3))
+        np.testing.assert_array_equal(np.asarray(got[2]), np.zeros(3))
+
+    def test_take_per_row_2d_bool_with_inf_sentinels(self):
+        vals = jnp.array([[True, False], [False, True]])
+        idx = jnp.array([1, 1], jnp.int32)
+        got = take_per_row(vals, idx)
+        assert got.dtype == jnp.bool_
+        np.testing.assert_array_equal(np.asarray(got), np.array([False, True]))
+        # inf in non-selected lanes must not poison the selected one
+        v = jnp.array([[np.inf, 3.0], [5.0, np.inf]], jnp.float32)
+        got = take_per_row(v, jnp.array([1, 0], jnp.int32))
+        np.testing.assert_array_equal(np.asarray(got), np.array([3.0, 5.0], np.float32))
+
+    def test_take_per_row_3d_exact(self):
+        rng = np.random.default_rng(2)
+        vals = jnp.asarray(rng.normal(size=(211, 20, 4)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 20, (211,), dtype=np.int32))
+        got = take_per_row(vals, idx)
+        want = np.take_along_axis(np.asarray(vals), np.asarray(idx)[:, None, None], axis=1)[:, 0]
+        np.testing.assert_array_equal(np.asarray(got), want)

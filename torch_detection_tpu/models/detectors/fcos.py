@@ -28,6 +28,7 @@ from ...ops.losses import (
     sigmoid_focal_loss_sparse,
 )
 from ...ops.nms import NMSResult, multiclass_nms
+from ...ops.tpu_gather import gather_rows, take_per_row
 
 INF = 1e8
 
@@ -94,9 +95,11 @@ def fcos_targets(
     cand = inside & in_range & gt_valid[None, :]
     masked_areas = jnp.where(cand, areas[None, :], INF)
     gi = jnp.argmin(masked_areas, axis=-1)  # (N,)
-    has = jnp.take_along_axis(cand, gi[:, None], axis=-1)[:, 0]
-    label0 = jnp.where(has, gt_labels[gi] - 1, -1).astype(jnp.int32)
-    tgt = jnp.take_along_axis(ltrb, gi[:, None, None], axis=1)[:, 0]  # (N, 4)
+    # one-hot selections, not take_along_axis/gather: TPU gathers at point
+    # scale (N ~ 20k-180k rows) run ~10x off roofline (see ops/tpu_gather.py)
+    has = take_per_row(cand, gi)
+    label0 = jnp.where(has, gather_rows(gt_labels, gi) - 1, -1).astype(jnp.int32)
+    tgt = take_per_row(ltrb, gi)  # (N, 4)
     lr = jnp.stack([tgt[:, 0], tgt[:, 2]], -1)
     tb = jnp.stack([tgt[:, 1], tgt[:, 3]], -1)
     eps = 1e-6

@@ -27,6 +27,7 @@ from ...ops.assign import MaxIoUAssigner
 from ...ops.boxes import bbox2delta, delta2bbox
 from ...ops.losses import sigmoid_focal_loss_sparse, smooth_l1_loss
 from ...ops.nms import NMSResult, multiclass_nms
+from ...ops.tpu_gather import gather_rows
 from ...utils.registry import BACKBONES, DETECTORS, HEADS, NECKS
 from ..heads.anchor_head import flatten_head_outputs
 
@@ -104,7 +105,9 @@ def _per_image_targets(
     pos = assign.assigned_gt_inds > 0
     neg = assign.assigned_gt_inds == 0
     safe_gt = jnp.clip(assign.assigned_gt_inds - 1, 0, gt_boxes.shape[0] - 1)
-    matched_gt = gt_boxes[safe_gt]
+    # one-hot matmul, not gt_boxes[safe_gt]: the plain gather cost 11.3 ms
+    # of a 28 ms loss tier @ b8 (see ops/tpu_gather.py)
+    matched_gt = gather_rows(gt_boxes, safe_gt)
     reg_targets = bbox2delta(anchors, matched_gt, cfg.target_means, cfg.target_stds)
     # sparse cls targets: 0-based foreground class for positives, -1 for the
     # rest (labels are 1-based with 0 = background in the dataset contract).

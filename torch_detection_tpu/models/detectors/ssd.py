@@ -26,6 +26,7 @@ from ...ops.assign import MaxIoUAssigner
 from ...ops.boxes import bbox2delta, delta2bbox
 from ...ops.losses import smooth_l1_loss
 from ...ops.nms import NMSResult, multiclass_nms
+from ...ops.tpu_gather import gather_rows
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,7 +100,8 @@ def ssd_loss(
 
         safe_gt = jnp.clip(assign.assigned_gt_inds - 1, 0, gt_boxes.shape[1] - 1)
         targets = bbox2delta(
-            anchors, gt_boxes[i][safe_gt], cfg.target_means, cfg.target_stds
+            anchors, gather_rows(gt_boxes[i], safe_gt), cfg.target_means,
+            cfg.target_stds,
         )
         reg_loss = smooth_l1_loss(
             flat_r[i], targets, weight=pos[:, None].astype(jnp.float32),

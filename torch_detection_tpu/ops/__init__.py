@@ -15,5 +15,6 @@ from .losses import (
     softmax_cross_entropy,
 )
 from .nms import NMSResult, multiclass_nms, nms
+from .tpu_gather import gather_rows, take_per_row
 
 __all__ = [k for k in dir() if not k.startswith("_")]

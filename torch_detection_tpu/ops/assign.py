@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .boxes import bbox_overlaps
+from .tpu_gather import gather_rows
 
 
 class AssignResult(NamedTuple):
@@ -118,7 +119,9 @@ class MaxIoUAssigner:
 
         if gt_labels is not None:
             safe_idx = jnp.clip(assigned - 1, 0, gt_boxes.shape[0] - 1)
-            labels = jnp.where(assigned > 0, gt_labels[safe_idx], 0)
+            # one-hot matmul, not gt_labels[safe_idx]: TPU small-table
+            # gathers are ~10x off roofline at anchor scale (ops/tpu_gather)
+            labels = jnp.where(assigned > 0, gather_rows(gt_labels, safe_idx), 0)
         else:
             labels = jnp.zeros((n,), jnp.int32)
         return AssignResult(assigned, max_overlaps, labels)
