@@ -208,6 +208,48 @@ def test_golden_map_faster_rcnn(golden):
 
 
 @pytest.mark.slow
+def test_golden_map_cascade_rcnn(golden):
+    from torch_detection_tpu.models.detectors import CascadeRCNN, CascadeRCNNConfig
+    from torch_detection_tpu.models.heads import ProposalConfig
+    from torch_detection_tpu.ops.anchors import AnchorGenerator
+
+    model = CascadeRCNN(
+        backbone=dict(type="ResNet", depth=18, num_stages=4, out_indices=(0, 1, 2, 3)),
+        neck=dict(type="FPN", in_channels=(64, 128, 256, 512), out_channels=16, num_outs=5),
+        rpn_head=dict(type="RPNHead", in_channels=16, feat_channels=16, num_base_anchors=3),
+        bbox_head=dict(type="BBoxHead", num_classes=2, fc_channels=64),
+        num_stages=3,
+    )
+    cfg = CascadeRCNNConfig(
+        num_classes=2,
+        anchor_generator=AnchorGenerator(
+            strides=(4, 8, 16, 32, 64), ratios=(0.5, 1.0, 2.0),
+            scales=(8.0,), octave_base_scale=None,
+        ),
+        proposal_train=ProposalConfig(pre_nms_per_level=128, post_nms_top_k=64),
+        proposal_test=ProposalConfig(pre_nms_per_level=128, post_nms_top_k=64),
+        rpn_num_samples=64, rcnn_num_samples=32, max_detections=10,
+    )
+
+    def init(model, variables):
+        extra = dict(
+            model.init(
+                jax.random.PRNGKey(1), jnp.zeros((1, 8, 7, 7, 16)),
+                method=CascadeRCNN.roi_forward_all,
+            )["params"]
+        )
+        return {
+            "params": {**variables["params"], **extra},
+            "batch_stats": variables.get("batch_stats", {}),
+        }
+
+    res = _train_and_eval(golden, model, cfg, extra_init=init, steps=400)
+    print("golden cascade:", res)
+    assert res["mAP_50"] >= 0.5, res
+    assert res["mAP"] >= 0.3, res
+
+
+@pytest.mark.slow
 def test_golden_map_mask_rcnn(golden):
     from torch_detection_tpu.models.detectors import MaskRCNN, MaskRCNNConfig
     from torch_detection_tpu.models.heads import ProposalConfig

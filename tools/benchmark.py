@@ -389,6 +389,45 @@ def main():
     dt = timed(cfg6, args.iters)
     results.append({"config": "6: Faster R-CNN e2e inference", "images_per_sec": round(fb / dt, 2)})
 
+    # ---- bonus: Cascade R-CNN e2e (3-stage refinement; shares the Pallas
+    # RoI kernel — roughly 3x the RoI+head cost of Faster R-CNN)
+    from torch_detection_tpu.models.detectors import (
+        CascadeRCNN,
+        CascadeRCNNConfig,
+        cascade_rcnn_inference,
+    )
+
+    casc = CascadeRCNN(
+        backbone=dict(type="ResNet", depth=50, num_stages=4, out_indices=(0, 1, 2, 3), dtype=jnp.bfloat16),
+        neck=dict(type="FPN", in_channels=(256, 512, 1024, 2048), out_channels=256, num_outs=5, dtype=jnp.bfloat16),
+        rpn_head=dict(type="RPNHead", in_channels=256, feat_channels=256, num_base_anchors=3, dtype=jnp.bfloat16),
+        bbox_head=dict(type="BBoxHead", num_classes=80, fc_channels=1024, dtype=jnp.bfloat16),
+    )
+    casc_cfg = CascadeRCNNConfig(
+        num_classes=80, approx_top_k=True,
+        proposal_test=ProposalConfig(
+            pre_nms_per_level=1000, post_nms_top_k=1000, nms_iou_thr=0.7,
+            approx_top_k=True,
+        ),
+    )
+    vars_c = jax.jit(casc.init)(jax.random.PRNGKey(0), xf)
+    vars_c_roi = casc.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8, 7, 7, 256), jnp.bfloat16),
+        method=CascadeRCNN.roi_forward_all,
+    )
+    vars_c = {
+        "params": {**vars_c["params"], **vars_c_roi["params"]},
+        "batch_stats": vars_c.get("batch_stats", {}),
+    }
+
+    @jax.jit
+    def cfg6c(acc):
+        d = cascade_rcnn_inference(casc_cfg, casc, vars_c, xfb)
+        return acc + jnp.sum(d.scores)
+
+    dt = timed(cfg6c, args.iters)
+    results.append({"config": "6c: Cascade R-CNN e2e inference", "images_per_sec": round(fb / dt, 2)})
+
     # ---- bonus: SSD300-VGG16 e2e (the classic consumer of the VGG backbone)
     from torch_detection_tpu.builder import build_detector
     from torch_detection_tpu.models.detectors import SSDConfig, decode_ssd

@@ -45,7 +45,6 @@ def main() -> None:
         make_serving_fn,
         save_serving,
     )
-    from torch_detection_tpu.models.detectors import MaskRCNN, TwoStageDetector
     from torch_detection_tpu.utils import Config
 
     cfg = Config.fromfile(args.config)
@@ -62,29 +61,10 @@ def main() -> None:
         else tuple(cfg["data"].get("canvas") or (800, 1216))
     )
 
+    from torch_detection_tpu.builder import init_detector_variables
+
     x = jnp.zeros((1, canvas[0], canvas[1], 3), jnp.float32)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
-    if isinstance(model, TwoStageDetector):
-        roi_size = getattr(det_cfg, "roi_size", 7)
-        feat_ch = cfg["model"]["neck"]["out_channels"]
-        vars2 = model.init(
-            jax.random.PRNGKey(1),
-            jnp.zeros((1, 8, roi_size, roi_size, feat_ch), jnp.float32),
-            method=TwoStageDetector.roi_forward,
-        )
-        extra = dict(vars2["params"])
-        if isinstance(model, MaskRCNN):
-            mask_roi = getattr(det_cfg, "mask_roi_size", 14)
-            vars3 = model.init(
-                jax.random.PRNGKey(2),
-                jnp.zeros((1, 8, mask_roi, mask_roi, feat_ch), jnp.float32),
-                method=MaskRCNN.mask_forward,
-            )
-            extra.update(vars3["params"])
-        variables = {
-            "params": {**variables["params"], **extra},
-            "batch_stats": variables.get("batch_stats", {}),
-        }
+    variables = init_detector_variables(model, det_cfg, cfg["model"], x)
     if args.checkpoint:
         variables, _ = load_checkpoint(variables, args.checkpoint, strict=False)
 

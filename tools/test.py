@@ -52,32 +52,11 @@ def main() -> None:
         val_cfg["flip_ratio"] = 0
     dataset = get_datasets(val_cfg)
 
+    from torch_detection_tpu.builder import init_detector_variables
+
     canvas = tuple(cfg["data"].get("canvas") or (800, 1344))
     x = jnp.zeros((1, canvas[0], canvas[1], 3), jnp.float32)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
-    if isinstance(model, TwoStageDetector):
-        from torch_detection_tpu.models.detectors import MaskRCNN
-
-        roi_size = getattr(det_cfg, "roi_size", 7)
-        feat_ch = cfg["model"]["neck"]["out_channels"]
-        vars2 = model.init(
-            jax.random.PRNGKey(1),
-            jnp.zeros((1, 8, roi_size, roi_size, feat_ch), jnp.float32),
-            method=TwoStageDetector.roi_forward,
-        )
-        extra_params = dict(vars2["params"])
-        if isinstance(model, MaskRCNN):
-            mask_roi = getattr(det_cfg, "mask_roi_size", 14)
-            vars3 = model.init(
-                jax.random.PRNGKey(2),
-                jnp.zeros((1, 8, mask_roi, mask_roi, feat_ch), jnp.float32),
-                method=MaskRCNN.mask_forward,
-            )
-            extra_params.update(vars3["params"])
-        variables = {
-            "params": {**variables["params"], **extra_params},
-            "batch_stats": variables.get("batch_stats", {}),
-        }
+    variables = init_detector_variables(model, det_cfg, cfg["model"], x)
     key_rules = None
     if args.checkpoint.startswith("torch://"):
         # full-detector torch checkpoints (mmdetection naming) need the

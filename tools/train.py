@@ -35,7 +35,6 @@ def main() -> None:
 
     from torch_detection_tpu.builder import build_loss_fn, build_train_objects
     from torch_detection_tpu.engine import Trainer, load_checkpoint, load_checkpoint_file
-    from torch_detection_tpu.models.detectors import TwoStageDetector
     from torch_detection_tpu.parallel import make_mesh
     from torch_detection_tpu.utils import Config
 
@@ -63,31 +62,12 @@ def main() -> None:
 
     canvas = tuple(cfg["data"].get("canvas") or (800, 1344))
     batch = cfg["data"].get("sample_per_replica", 2) * mesh.shape["data"]
-    x = jnp.zeros((batch, canvas[0], canvas[1], 3), jnp.float32)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(args.seed), x)
-    if isinstance(model, TwoStageDetector):
-        # roi (and mask) heads are separate methods; init their params and merge
-        from torch_detection_tpu.models.detectors import MaskRCNN
+    from torch_detection_tpu.builder import init_detector_variables
 
-        feat_ch = cfg["model"]["neck"]["out_channels"]
-        roi_size = getattr(det_cfg, "roi_size", 7)
-        roi_feats = jnp.zeros((1, 8, roi_size, roi_size, feat_ch), jnp.float32)
-        vars2 = model.init(
-            jax.random.PRNGKey(args.seed + 1), roi_feats, method=TwoStageDetector.roi_forward
-        )
-        extra_params = dict(vars2["params"])
-        if isinstance(model, MaskRCNN):
-            mask_roi = getattr(det_cfg, "mask_roi_size", 14)
-            vars3 = model.init(
-                jax.random.PRNGKey(args.seed + 2),
-                jnp.zeros((1, 8, mask_roi, mask_roi, feat_ch), jnp.float32),
-                method=MaskRCNN.mask_forward,
-            )
-            extra_params.update(vars3["params"])
-        variables = {
-            "params": {**variables["params"], **extra_params},
-            "batch_stats": variables.get("batch_stats", {}),
-        }
+    x = jnp.zeros((batch, canvas[0], canvas[1], 3), jnp.float32)
+    variables = init_detector_variables(
+        model, det_cfg, cfg["model"], x, seed=args.seed
+    )
 
     pretrained = args.pretrained or runtime.get("pretrained")
     if pretrained:

@@ -41,12 +41,6 @@ def main() -> None:
         img_resize,
     )
     from torch_detection_tpu.engine import load_checkpoint
-    from torch_detection_tpu.models.detectors import (
-        FasterRCNNConfig,
-        TwoStageDetector,
-        decode_detections,
-        faster_rcnn_inference,
-    )
     from torch_detection_tpu.utils import Config
 
     cfg = Config.fromfile(args.config)
@@ -63,19 +57,17 @@ def main() -> None:
 
     os.makedirs(args.out_dir, exist_ok=True)
     canvas = tuple(cfg["data"].get("canvas") or (800, 1344))
+    from torch_detection_tpu.builder import init_detector_variables
+
     x0 = jnp.zeros((1, canvas[0], canvas[1], 3), jnp.float32)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
-    if isinstance(model, TwoStageDetector):
-        vars2 = model.init(
-            jax.random.PRNGKey(1),
-            jnp.zeros((1, 8, det_cfg.roi_size, det_cfg.roi_size, cfg["model"]["neck"]["out_channels"])),
-            method=TwoStageDetector.roi_forward,
-        )
-        variables = {
-            "params": {**variables["params"], **vars2["params"]},
-            "batch_stats": variables.get("batch_stats", {}),
-        }
+    variables = init_detector_variables(model, det_cfg, cfg["model"], x0)
     variables, _ = load_checkpoint(variables, args.checkpoint, strict=False)
+
+    # one jitted inference program for any detector family (same dispatch
+    # as the evaluator and the in-training validation hook)
+    from torch_detection_tpu.engine.validate import make_inference_fn
+
+    infer = make_inference_fn(model, det_cfg)
 
     for path in args.images:
         raw = img_read(path)
@@ -87,14 +79,7 @@ def main() -> None:
         padded[0, : img.shape[0], : img.shape[1]] = img
         shapes = jnp.asarray([[hw[0], hw[1]]], jnp.float32)
         sfs = jnp.asarray([sf], jnp.float32)
-        if isinstance(det_cfg, FasterRCNNConfig):
-            dets = faster_rcnn_inference(
-                det_cfg, model, variables, jnp.asarray(padded),
-                img_shapes=shapes, scale_factors=sfs,
-            )
-        else:
-            cls, reg = model.apply(variables, jnp.asarray(padded))
-            dets = decode_detections(det_cfg, cls, reg, img_shapes=shapes, scale_factors=sfs)
+        dets = infer(variables, jnp.asarray(padded), shapes, sfs)
         v = np.asarray(dets.valid[0])
         boxes = np.asarray(dets.boxes[0])[v]
         scores = np.asarray(dets.scores[0])[v]

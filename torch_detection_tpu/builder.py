@@ -49,22 +49,34 @@ def build_detection_cfg(det_cfg: Dict[str, Any]):
     anchor = dict(cfg.pop("anchor", {}))
     assigner = dict(cfg.pop("assigner", {}))
 
-    if style in ("faster_rcnn", "mask_rcnn"):
-        from .models.detectors import FasterRCNNConfig, MaskRCNNConfig
+    if style in ("faster_rcnn", "mask_rcnn", "cascade_rcnn"):
+        from .models.detectors import (
+            CascadeRCNNConfig,
+            FasterRCNNConfig,
+            MaskRCNNConfig,
+        )
 
-        cls = MaskRCNNConfig if style == "mask_rcnn" else FasterRCNNConfig
+        cls = {"faster_rcnn": FasterRCNNConfig, "mask_rcnn": MaskRCNNConfig,
+               "cascade_rcnn": CascadeRCNNConfig}[style]
         kwargs: Dict[str, Any] = {}
         if anchor:
             kwargs["anchor_generator"] = _build_anchor_generator(anchor)
         keys = ["num_classes", "score_thr", "nms_iou_thr", "max_detections",
                 "roi_size", "finest_scale", "rpn_num_samples",
-                "rcnn_num_samples", "rcnn_pos_fraction", "smooth_l1_beta"]
+                "rcnn_num_samples", "rcnn_pos_fraction", "smooth_l1_beta",
+                "approx_top_k"]
         if style == "mask_rcnn":
             keys += ["mask_size", "mask_roi_size", "mask_loss_weight"]
+        if style == "cascade_rcnn":
+            keys += ["num_stages", "stage_pos_ious", "stage_loss_weights"]
         for key in keys:
             if key in cfg:
                 v = cfg[key]
                 kwargs[key] = tuple(v) if isinstance(v, list) else v
+        if style == "cascade_rcnn" and "stage_target_stds" in cfg:
+            kwargs["stage_target_stds"] = tuple(
+                tuple(s) for s in cfg["stage_target_stds"]
+            )
         return cls(**kwargs)
 
     if style == "fcos":
@@ -120,15 +132,61 @@ def build_detection_cfg(det_cfg: Dict[str, Any]):
     return RetinaNetConfig(**kwargs)
 
 
+def init_detector_variables(model, det_cfg, model_cfg, sample_image, seed: int = 0):
+    """Init flax variables for any detector family.
+
+    Two-stage detectors run their roi (and mask) heads through separate
+    apply-methods, so ``model.init`` on the image alone never visits those
+    submodules; this helper inits every method and merges the param trees.
+    ``model_cfg`` is the model config dict (neck out_channels sizes the roi
+    feature placeholder).
+    """
+    import jax
+
+    from .models.detectors import CascadeRCNN, MaskRCNN, TwoStageDetector
+
+    variables = jax.jit(model.init)(jax.random.PRNGKey(seed), sample_image)
+    if not isinstance(model, TwoStageDetector):
+        return variables
+
+    feat_ch = model_cfg["neck"]["out_channels"]
+    roi_size = getattr(det_cfg, "roi_size", 7)
+    roi_method = (
+        CascadeRCNN.roi_forward_all
+        if isinstance(model, CascadeRCNN)
+        else TwoStageDetector.roi_forward
+    )
+    vars2 = model.init(
+        jax.random.PRNGKey(seed + 1),
+        jnp.zeros((1, 8, roi_size, roi_size, feat_ch), jnp.float32),
+        method=roi_method,
+    )
+    extra_params = dict(vars2["params"])
+    if isinstance(model, MaskRCNN):
+        mask_roi = getattr(det_cfg, "mask_roi_size", 14)
+        vars3 = model.init(
+            jax.random.PRNGKey(seed + 2),
+            jnp.zeros((1, 8, mask_roi, mask_roi, feat_ch), jnp.float32),
+            method=MaskRCNN.mask_forward,
+        )
+        extra_params.update(vars3["params"])
+    return {
+        "params": {**variables["params"], **extra_params},
+        "batch_stats": variables.get("batch_stats", {}),
+    }
+
+
 def build_loss_fn(model, det_cfg, rng_seed: int = 0):
     """Return ``loss_fn(params, batch_stats, batch) -> (loss, metrics)`` for
     the detector family implied by ``det_cfg``."""
     import jax
 
     from .models.detectors import (
+        CascadeRCNNConfig,
         FasterRCNNConfig,
         MaskRCNNConfig,
         TwoStageDetector,
+        cascade_rcnn_loss,
         faster_rcnn_loss,
         mask_rcnn_loss,
         retina_loss,
@@ -139,6 +197,15 @@ def build_loss_fn(model, det_cfg, rng_seed: int = 0):
         # capping and negative sampling draw a fresh stream every step;
         # a fixed PRNGKey here would freeze the sampling pattern for the run
         return jax.random.fold_in(jax.random.PRNGKey(rng_seed), step)
+
+    if isinstance(det_cfg, CascadeRCNNConfig):
+        def loss_fn(params, batch_stats, batch, step=0):
+            variables = {"params": params, "batch_stats": batch_stats}
+            losses = cascade_rcnn_loss(det_cfg, model, variables, batch, _step_rng(step))
+            aux = {k: v for k, v in losses.items() if k != "loss"}
+            return losses["loss"], aux
+
+        return loss_fn
 
     if isinstance(det_cfg, MaskRCNNConfig):
         def loss_fn(params, batch_stats, batch, step=0):

@@ -85,10 +85,12 @@ def make_serving_fn(
     2x2 space-to-depth u8 canvas (B, H/2, W/2, 12); ``img_shape`` stays in
     original coordinates."""
     from ..models.detectors import (
+        CascadeRCNNConfig,
         FasterRCNNConfig,
         FCOSConfig,
         MaskRCNN,
         SSDConfig,
+        cascade_rcnn_inference,
         decode_detections,
         decode_fcos,
         decode_ssd,
@@ -96,7 +98,8 @@ def make_serving_fn(
         mask_rcnn_inference,
     )
 
-    is_two_stage = isinstance(det_cfg, FasterRCNNConfig)
+    is_cascade = isinstance(det_cfg, CascadeRCNNConfig)
+    is_two_stage = isinstance(det_cfg, FasterRCNNConfig) and not is_cascade
     is_mask = isinstance(model, MaskRCNN)
     is_ssd = isinstance(det_cfg, SSDConfig)
     is_fcos = isinstance(det_cfg, FCOSConfig)
@@ -116,7 +119,12 @@ def make_serving_fn(
                 "boxes": d.boxes, "scores": d.scores, "labels": d.labels,
                 "valid": d.valid, "mask_probs": d.mask_probs,
             }
-        if is_two_stage:
+        if is_cascade:
+            d = cascade_rcnn_inference(
+                det_cfg, model, variables, x,
+                img_shapes=shapes_f, scale_factors=scale_factor,
+            )
+        elif is_two_stage:
             d = faster_rcnn_inference(
                 det_cfg, model, variables, x,
                 img_shapes=shapes_f, scale_factors=scale_factor,

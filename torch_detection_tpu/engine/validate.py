@@ -30,14 +30,27 @@ def make_inference_fn(model, det_cfg) -> Callable:
     import jax
 
     from ..models.detectors import (
+        CascadeRCNNConfig,
         FasterRCNNConfig,
         FCOSConfig,
         SSDConfig,
+        cascade_rcnn_inference,
         decode_detections,
         decode_fcos,
         decode_ssd,
         faster_rcnn_inference,
     )
+
+    if isinstance(det_cfg, CascadeRCNNConfig):
+
+        @jax.jit
+        def infer(variables, image, img_shape, scale_factor):
+            return cascade_rcnn_inference(
+                det_cfg, model, variables, image,
+                img_shapes=img_shape, scale_factors=scale_factor,
+            )
+
+        return infer
 
     if isinstance(det_cfg, FasterRCNNConfig):
 

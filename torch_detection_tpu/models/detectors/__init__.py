@@ -12,6 +12,12 @@ from .two_stage import (
 )
 from .fcos import FCOSConfig, decode_fcos, fcos_loss
 from .ssd import SSDConfig, decode_ssd, ssd_loss
+from .cascade_rcnn import (
+    CascadeRCNN,
+    CascadeRCNNConfig,
+    cascade_rcnn_inference,
+    cascade_rcnn_loss,
+)
 from .mask_rcnn import (
     MaskDetections,
     MaskRCNN,
@@ -26,6 +32,10 @@ __all__ = [
     "decode_detections",
     "retina_loss",
     "FasterRCNNConfig",
+    "CascadeRCNN",
+    "CascadeRCNNConfig",
+    "cascade_rcnn_inference",
+    "cascade_rcnn_loss",
     "MaskDetections",
     "MaskRCNN",
     "MaskRCNNConfig",

@@ -129,6 +129,59 @@ def _sample_fixed(
     return idx, top_p >= 2.0, top_p >= 1.0
 
 
+def rpn_losses(
+    cfg: FasterRCNNConfig,
+    anchors: jax.Array,  # (N, 4)
+    flat_rpn_s: jax.Array,  # (B, N) f32
+    flat_rpn_d: jax.Array,  # (B, N, 4) f32
+    gt_boxes: jax.Array,
+    gt_labels: jax.Array,
+    gt_valid: jax.Array,
+    rngs: jax.Array,  # (B, key)
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-image RPN cls/reg losses on a fixed sampled slate -> ((B,), (B,)).
+
+    Shared by Faster/Mask R-CNN and Cascade R-CNN (whose RPN tier is
+    identical; only the RoI stages differ)."""
+
+    def rpn_one(i):
+        assign = cfg.rpn_assigner(anchors, gt_boxes[i], gt_valid[i], gt_labels[i])
+        pos = assign.assigned_gt_inds > 0
+        neg = assign.assigned_gt_inds == 0
+        idx, is_pos, is_valid = _sample_fixed(
+            rngs[i], pos, neg, cfg.rpn_num_samples, cfg.rpn_pos_fraction
+        )
+        s = flat_rpn_s[i][idx]
+        d = flat_rpn_d[i][idx]
+        safe_gt = jnp.clip(assign.assigned_gt_inds[idx] - 1, 0, gt_boxes.shape[1] - 1)
+        matched = gt_boxes[i][safe_gt]
+        targets = bbox2delta(anchors[idx], matched, stds=cfg.rpn_target_stds)
+        w = is_valid.astype(jnp.float32)
+        n_valid = jnp.maximum(jnp.sum(w), 1.0)
+        cls_loss = binary_cross_entropy(s, is_pos.astype(jnp.float32), weight=w, avg_factor=n_valid)
+        reg_loss = smooth_l1_loss(
+            d, targets, weight=is_pos.astype(jnp.float32)[:, None],
+            beta=1.0 / 9.0, avg_factor=n_valid,
+        )
+        return cls_loss, reg_loss
+
+    return jax.vmap(rpn_one)(jnp.arange(gt_boxes.shape[0]))
+
+
+def flatten_rpn_outputs(
+    rpn_scores: Sequence[jax.Array], rpn_deltas: Sequence[jax.Array]
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-level (B,H,W,A)/(B,H,W,A*4) -> flat f32 (B, N) / (B, N, 4)."""
+    b = rpn_scores[0].shape[0]
+    flat_s = jnp.concatenate(
+        [s.reshape(b, -1).astype(jnp.float32) for s in rpn_scores], axis=1
+    )
+    flat_d = jnp.concatenate(
+        [d.reshape(b, -1, 4).astype(jnp.float32) for d in rpn_deltas], axis=1
+    )
+    return flat_s, flat_d
+
+
 def faster_rcnn_loss(
     cfg: FasterRCNNConfig,
     model: TwoStageDetector,
@@ -148,38 +201,14 @@ def faster_rcnn_loss(
     feats, rpn_scores, rpn_deltas = model.apply(variables, images, train=train)
     featmap_sizes = [tuple(s.shape[1:3]) for s in rpn_scores]
     anchors = cfg.anchor_generator.flat_anchors(featmap_sizes)  # (N, 4)
-    a = cfg.anchor_generator.num_base_anchors
-    flat_rpn_s = jnp.concatenate(
-        [s.reshape(b, -1).astype(jnp.float32) for s in rpn_scores], axis=1
-    )
-    flat_rpn_d = jnp.concatenate(
-        [d.reshape(b, -1, 4).astype(jnp.float32) for d in rpn_deltas], axis=1
-    )
+    flat_rpn_s, flat_rpn_d = flatten_rpn_outputs(rpn_scores, rpn_deltas)
 
     rngs = jax.random.split(rng, b * 2).reshape(b, 2, -1)
 
-    def rpn_one(i):
-        assign = cfg.rpn_assigner(anchors, gt_boxes[i], gt_valid[i], gt_labels[i])
-        pos = assign.assigned_gt_inds > 0
-        neg = assign.assigned_gt_inds == 0
-        idx, is_pos, is_valid = _sample_fixed(
-            rngs[i, 0], pos, neg, cfg.rpn_num_samples, cfg.rpn_pos_fraction
-        )
-        s = flat_rpn_s[i][idx]
-        d = flat_rpn_d[i][idx]
-        safe_gt = jnp.clip(assign.assigned_gt_inds[idx] - 1, 0, gt_boxes.shape[1] - 1)
-        matched = gt_boxes[i][safe_gt]
-        targets = bbox2delta(anchors[idx], matched, stds=cfg.rpn_target_stds)
-        w = is_valid.astype(jnp.float32)
-        n_valid = jnp.maximum(jnp.sum(w), 1.0)
-        cls_loss = binary_cross_entropy(s, is_pos.astype(jnp.float32), weight=w, avg_factor=n_valid)
-        reg_loss = smooth_l1_loss(
-            d, targets, weight=is_pos.astype(jnp.float32)[:, None],
-            beta=1.0 / 9.0, avg_factor=n_valid,
-        )
-        return cls_loss, reg_loss
-
-    rpn_cls_l, rpn_reg_l = jax.vmap(rpn_one)(jnp.arange(b))
+    rpn_cls_l, rpn_reg_l = rpn_losses(
+        cfg, anchors, flat_rpn_s, flat_rpn_d, gt_boxes, gt_labels, gt_valid,
+        rngs[:, 0],
+    )
 
     # ---------------- stage 2
     proposals = generate_proposals(
