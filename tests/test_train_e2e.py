@@ -81,3 +81,59 @@ def test_trainer_end_to_end(tmp_path, caplog):
     # checkpoint exists and carries meta
     payload = load_checkpoint_file(str(tmp_path / "work" / "epoch_2"))
     assert payload["meta"]["epoch"] == 2
+
+
+@pytest.mark.slow
+def test_trainer_ema_and_accumulation(tmp_path):
+    """Trainer with ema_decay + accum_steps: checkpoints carry ema_params and
+    the EMA tree lags the raw params."""
+    root = str(tmp_path / "coco")
+    ann_file, img_dir = make_coco(root)
+    ds = CocoDataset(
+        ann_file=ann_file, img_prefix=img_dir,
+        img_means=(0, 0, 0), img_stds=(1, 1, 1),
+        img_expected_sizes=(100, 60), size_divisor=32, flip_ratio=0.0,
+    )
+    dl = build_dataloader(ds, sample_per_replica=2, max_gts=8, canvas=(128, 128))
+
+    model = SingleStageDetector(
+        backbone=dict(type="ResNet", depth=18, num_stages=4, out_indices=(1, 2, 3)),
+        neck=dict(type="FPN", in_channels=(128, 256, 512), out_channels=16, num_outs=5,
+                  add_extra_convs=True),
+        head=dict(type="RetinaHead", num_classes=2, in_channels=16, feat_channels=16,
+                  stacked_convs=1, num_base_anchors=9),
+    )
+    cfg = RetinaNetConfig(
+        num_classes=2,
+        anchor_generator=AnchorGenerator(strides=(8, 16, 32, 64, 128)),
+    )
+    x = jnp.zeros((2, 128, 128, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+    def loss_fn(params, batch_stats, batch):
+        cls, reg = model.apply({"params": params, "batch_stats": batch_stats}, batch["image"], train=True)
+        losses = retina_loss(
+            cfg, cls, reg, batch["gt_boxes"], batch["gt_labels"],
+            batch["gt_valid"], img_shapes=batch["img_shape"],
+        )
+        return losses["loss"], {"loss_cls": losses["loss_cls"]}
+
+    tx = make_optimizer(learning_rate=0.001, grad_clip_norm=35.0)
+    trainer = Trainer(
+        loss_fn, variables, tx, dl,
+        work_dir=str(tmp_path / "work"), log_interval=1,
+        checkpoint_interval_epochs=1, max_keep_checkpoints=1,
+        ema_decay=0.9, accum_steps=2,
+    )
+    state = trainer.run(num_epochs=1)
+    assert state.ema_params is not None
+    # ema lags params (decay > 0 and params moved)
+    diff = jax.tree_util.tree_reduce(
+        lambda a, p: a + float(np.abs(np.asarray(p[0]) - np.asarray(p[1])).sum()),
+        jax.tree_util.tree_map(lambda a, b: (a, b), state.ema_params, state.params),
+        0.0,
+        is_leaf=lambda x: isinstance(x, tuple),
+    )
+    assert diff > 0
+    payload = load_checkpoint_file(str(tmp_path / "work" / "epoch_1"))
+    assert "ema_params" in payload["variables"]

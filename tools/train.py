@@ -104,6 +104,8 @@ def main() -> None:
         profile_dir=args.profile_dir,
         val_hook=val_hook,
         val_interval_epochs=val_interval or 1,
+        ema_decay=runtime.get("ema_decay"),
+        accum_steps=int(runtime.get("accum_steps", 1) or 1),
     )
     start_epoch = 0
     if args.auto_resume and not args.resume:
@@ -126,11 +128,16 @@ def main() -> None:
         opt_state = tx.init(variables["params"])
         if "opt_state" in payload:
             opt_state = rebuild_opt_state(opt_state, payload["opt_state"])
+        ema = variables.get("ema_params")
+        if ema is None and runtime.get("ema_decay"):
+            # resuming an EMA run from a pre-EMA checkpoint: seed from params
+            ema = variables["params"]
         trainer.state = TrainState(
             step=jnp.asarray(payload["meta"].get("step", 0), jnp.int32),
             params=shard_params(mesh, variables["params"]),
             opt_state=shard_params(mesh, opt_state),
             batch_stats=shard_params(mesh, variables.get("batch_stats")) if variables.get("batch_stats") else None,
+            ema_params=shard_params(mesh, ema) if ema is not None and runtime.get("ema_decay") else None,
         )
 
     trainer.run(total_epochs, start_epoch=start_epoch)

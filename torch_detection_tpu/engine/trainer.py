@@ -68,6 +68,8 @@ class Trainer:
         val_hook: Optional[Callable[[Dict[str, Any]], Dict[str, float]]] = None,
         val_interval_epochs: int = 1,
         best_metric: str = "mAP",
+        ema_decay: Optional[float] = None,
+        accum_steps: int = 1,
     ):
         self.loss_fn = loss_fn
         self.tx = tx
@@ -88,6 +90,10 @@ class Trainer:
         self.best_metric = best_metric
         self.best_score = float("-inf")
         self._saved = []
+        # EMA of the params (validated/checkpointed alongside the raw ones)
+        # and microbatch gradient accumulation — see make_train_step
+        self.ema_decay = ema_decay
+        self.accum_steps = max(1, int(accum_steps))
 
         params = variables["params"]
         batch_stats = variables.get("batch_stats")
@@ -95,8 +101,13 @@ class Trainer:
             params = shard_params(mesh, params)
             if batch_stats is not None:
                 batch_stats = shard_params(mesh, batch_stats)
-        self.state = create_train_state(params, tx, batch_stats=batch_stats)
-        step_builder = make_train_step(loss_fn, tx, mesh=mesh)
+        self.state = create_train_state(
+            params, tx, batch_stats=batch_stats, ema=ema_decay is not None
+        )
+        step_builder = make_train_step(
+            loss_fn, tx, mesh=mesh,
+            ema_decay=ema_decay, accum_steps=self.accum_steps,
+        )
         self.train_step = step_builder(self.state) if mesh is not None else step_builder
         self.history: list = []
 
@@ -145,7 +156,13 @@ class Trainer:
         return self.state
 
     def _validate(self, epoch: int) -> None:
-        variables = {"params": jax.device_get(self.state.params)}
+        # validate the EMA weights when tracked — they are what would ship
+        eval_params = (
+            self.state.ema_params
+            if self.state.ema_params is not None
+            else self.state.params
+        )
+        variables = {"params": jax.device_get(eval_params)}
         if self.state.batch_stats is not None:
             variables["batch_stats"] = jax.device_get(self.state.batch_stats)
         t0 = time.perf_counter()
@@ -173,6 +190,8 @@ class Trainer:
         variables = {"params": self.state.params}
         if self.state.batch_stats is not None:
             variables["batch_stats"] = self.state.batch_stats
+        if self.state.ema_params is not None:
+            variables["ema_params"] = self.state.ema_params
         save_checkpoint(
             path, variables, opt_state=self.state.opt_state,
             meta={"epoch": epoch + 1, "step": int(self.state.step)},

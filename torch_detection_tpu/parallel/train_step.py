@@ -24,15 +24,23 @@ from .mesh import batch_sharding, param_shardings, replicated
 
 @dataclasses.dataclass
 class TrainState:
-    """Minimal functional train state (pytree)."""
+    """Minimal functional train state (pytree).
+
+    ``ema_params`` is None unless the step was built with ``ema_decay`` —
+    None flattens to an empty subtree, so EMA-less states keep their old
+    checkpoint/sharding structure."""
 
     step: jax.Array
     params: Any
     opt_state: Any
     batch_stats: Any = None
+    ema_params: Any = None
 
     def tree_flatten(self):
-        return (self.step, self.params, self.opt_state, self.batch_stats), None
+        return (
+            self.step, self.params, self.opt_state, self.batch_stats,
+            self.ema_params,
+        ), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -44,12 +52,18 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def create_train_state(params, tx: optax.GradientTransformation, batch_stats=None) -> TrainState:
+def create_train_state(
+    params,
+    tx: optax.GradientTransformation,
+    batch_stats=None,
+    ema: bool = False,
+) -> TrainState:
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
         batch_stats=batch_stats,
+        ema_params=jax.tree_util.tree_map(jnp.copy, params) if ema else None,
     )
 
 
@@ -59,6 +73,8 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     donate_state: bool = True,
     skip_nonfinite: bool = True,
+    accum_steps: int = 1,
+    ema_decay: Optional[float] = None,
 ):
     """Build a jitted train step.
 
@@ -71,20 +87,64 @@ def make_train_step(
     (SURVEY.md §5): a step whose loss or global grad norm is NaN/Inf applies
     a zero update instead of corrupting the params — on-device ``where``, no
     host sync, so the guard is free.
+
+    ``accum_steps > 1`` is the HBM-vs-batch knob: the incoming batch (whose
+    leading axis must be divisible by ``accum_steps``) is split into that
+    many microbatches and grads are averaged through a ``lax.scan`` — peak
+    activation memory is one microbatch's, the update sees the full batch.
+    One optimizer step per call either way (the LR schedule indexes optimizer
+    steps, not microbatches).
+
+    ``ema_decay`` (e.g. 0.999) keeps an exponential moving average of the
+    params in ``state.ema_params`` with the standard warmup ramp
+    ``min(decay, (1+t)/(10+t))`` — evaluate/serve the EMA weights for the
+    usual late-training stability win.  Free on-chip (one fma per param).
     """
 
     import inspect
 
     loss_wants_step = "step" in inspect.signature(loss_fn).parameters
 
-    def step_fn(state: TrainState, batch: Dict[str, jax.Array]):
+    def grads_of(state: TrainState, batch):
         if loss_wants_step:
             bound = partial(loss_fn, step=state.step)
         else:
             bound = loss_fn
-        (loss, metrics), grads = jax.value_and_grad(bound, has_aux=True)(
+        return jax.value_and_grad(bound, has_aux=True)(
             state.params, state.batch_stats, batch
         )
+
+    def step_fn(state: TrainState, batch: Dict[str, jax.Array]):
+        if accum_steps > 1:
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape(
+                    (accum_steps, x.shape[0] // accum_steps) + x.shape[1:]
+                ),
+                batch,
+            )
+            mb0 = jax.tree_util.tree_map(lambda x: x[0], micro)
+            (loss0, metrics0), grads0 = grads_of(state, mb0)
+
+            def body(carry, mb):
+                loss_a, metrics_a, grads_a = carry
+                (l, m), g = grads_of(state, mb)
+                add = lambda a, b: a + b
+                return (
+                    loss_a + l,
+                    jax.tree_util.tree_map(add, metrics_a, m),
+                    jax.tree_util.tree_map(add, grads_a, g),
+                ), None
+
+            rest = jax.tree_util.tree_map(lambda x: x[1:], micro)
+            (loss, metrics, grads), _ = jax.lax.scan(
+                body, (loss0, metrics0, grads0), rest
+            )
+            inv = 1.0 / accum_steps
+            loss = loss * inv
+            metrics = jax.tree_util.tree_map(lambda m: m * inv, metrics)
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+        else:
+            (loss, metrics), grads = grads_of(state, batch)
         if skip_nonfinite:
             gnorm = optax.global_norm(grads)
             ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
@@ -104,11 +164,26 @@ def make_train_step(
                 lambda new, old: jnp.where(ok, new, old) if isinstance(new, jax.Array) else new,
                 new_opt, state.opt_state,
             )
+        new_ema = state.ema_params
+        if ema_decay is not None and state.ema_params is not None:
+            t = state.step.astype(jnp.float32)
+            d = jnp.minimum(jnp.float32(ema_decay), (1.0 + t) / (10.0 + t))
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: (d * e.astype(jnp.float32)
+                              + (1.0 - d) * p.astype(jnp.float32)).astype(e.dtype),
+                state.ema_params, new_params,
+            )
+            if skip_nonfinite:
+                new_ema = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(ok, new, old),
+                    new_ema, state.ema_params,
+                )
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
             opt_state=new_opt,
             batch_stats=state.batch_stats,
+            ema_params=new_ema,
         )
         metrics = dict(metrics)
         metrics["loss"] = loss
@@ -127,7 +202,12 @@ def make_train_step(
             if state_example.batch_stats is not None
             else None
         )
-        state_sh = TrainState(replicated(mesh), ps, os_, bs)
+        es = (
+            param_shardings(mesh, state_example.ema_params)
+            if state_example.ema_params is not None
+            else None
+        )
+        state_sh = TrainState(replicated(mesh), ps, os_, bs, es)
         return jax.jit(
             step_fn,
             in_shardings=(state_sh, batch_sharding(mesh)),
