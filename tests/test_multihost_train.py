@@ -202,3 +202,86 @@ def test_two_replica_two_stage_step_matches_single(coco_dataset):
         ),
         s1.params, jax.device_get(s2.params),
     )
+
+
+def test_two_replica_cascade_step_matches_single(coco_dataset):
+    """Cascade R-CNN DP-sharded train step == single-device step: the
+    three-stage refined-slate loop (per-stage assign/sample/RoIAlign) under
+    GSPMD must match the unsharded program bit-for-tolerance."""
+    from torch_detection_tpu.models.detectors import (
+        CascadeRCNN,
+        CascadeRCNNConfig,
+        cascade_rcnn_loss,
+    )
+    from torch_detection_tpu.models.heads import ProposalConfig
+
+    model = CascadeRCNN(
+        backbone=dict(type="ResNet", depth=18, num_stages=4, out_indices=(0, 1, 2, 3)),
+        neck=dict(type="FPN", in_channels=(64, 128, 256, 512), out_channels=16, num_outs=5),
+        rpn_head=dict(type="RPNHead", in_channels=16, feat_channels=16, num_base_anchors=3),
+        bbox_head=dict(type="BBoxHead", num_classes=2, fc_channels=32),
+        num_stages=3,
+    )
+    det_cfg = CascadeRCNNConfig(
+        num_classes=2,
+        anchor_generator=AnchorGenerator(
+            strides=(4, 8, 16, 32, 64), ratios=(0.5, 1.0, 2.0),
+            scales=(8.0,), octave_base_scale=None,
+        ),
+        proposal_train=ProposalConfig(pre_nms_per_level=64, post_nms_top_k=32),
+        proposal_test=ProposalConfig(pre_nms_per_level=64, post_nms_top_k=32),
+        rpn_num_samples=32,
+        rcnn_num_samples=16,
+        max_detections=8,
+    )
+
+    def loss_fn(params, batch_stats, batch, step=0):
+        variables = {"params": params, "batch_stats": batch_stats}
+        rng = jax.random.fold_in(jax.random.PRNGKey(7), step)
+        losses = cascade_rcnn_loss(det_cfg, model, variables, batch, rng)
+        return losses["loss"], {"loss_s2_cls": losses["loss_s2_cls"]}
+
+    local = []
+    for rank in (0, 1):
+        batch = next(iter(_replica_loader(coco_dataset, rank)))
+        batch.pop("img_meta", None)
+        local.append(batch)
+    global_batch = {
+        k: np.concatenate([local[0][k], local[1][k]]) for k in local[0]
+    }
+
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    roi_feats = jnp.zeros((1, 8, 7, 7, 16), jnp.float32)
+    vars2 = model.init(
+        jax.random.PRNGKey(1), roi_feats, method=CascadeRCNN.roi_forward_all
+    )
+    variables = {
+        "params": {**variables["params"], **vars2["params"]},
+        "batch_stats": variables.get("batch_stats", {}),
+    }
+    tx = optax.sgd(0.01, momentum=0.9)
+
+    s1 = create_train_state(variables["params"], tx, batch_stats=variables["batch_stats"])
+    step1 = make_train_step(loss_fn, tx, donate_state=False)
+    s1, m1 = step1(s1, {k: jnp.asarray(v) for k, v in global_batch.items()})
+
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    with mesh:
+        params = shard_params(mesh, variables["params"])
+        stats = shard_params(mesh, variables["batch_stats"])
+        s2 = create_train_state(params, tx, batch_stats=stats)
+        step2 = make_train_step(loss_fn, tx, mesh=mesh, donate_state=False)(s2)
+        s2, m2 = step2(s2, shard_batch(mesh, global_batch))
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=2e-5)
+    # looser than the FRCNN test: GSPMD reassociation perturbs proposal
+    # scores ~1e-6, and the cascade's discrete per-stage IoU thresholds can
+    # flip a handful of roi assignments between the two programs — measured
+    # max param delta 2.3e-4 after one lr=0.01 step, loss identical to 2e-5
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-4
+        ),
+        s1.params, jax.device_get(s2.params),
+    )
