@@ -94,6 +94,24 @@ def build_detection_cfg(det_cfg: Dict[str, Any]):
                 kwargs[key] = tuple(v) if isinstance(v, list) else v
         return FCOSConfig(**kwargs)
 
+    if style == "atss":
+        from .models.detectors import ATSSConfig
+        from .ops.assign import ATSSAssigner
+
+        kwargs = {}
+        if anchor:
+            kwargs["anchor_generator"] = _build_anchor_generator(anchor)
+        if assigner:
+            kwargs["assigner"] = ATSSAssigner(**assigner)
+        for key in ("num_classes", "target_means", "target_stds", "focal_gamma",
+                    "focal_alpha", "reg_loss_weight", "score_thr", "nms_iou_thr",
+                    "pre_select_per_level", "pre_nms_top_k", "max_detections",
+                    "approx_top_k"):
+            if key in cfg:
+                v = cfg[key]
+                kwargs[key] = tuple(v) if isinstance(v, list) else v
+        return ATSSConfig(**kwargs)
+
     if style == "ssd":
         from .models.detectors import SSDConfig
         from .ops.anchors import SSDAnchorGenerator
@@ -225,7 +243,32 @@ def build_loss_fn(model, det_cfg, rng_seed: int = 0):
 
         return loss_fn
 
-    from .models.detectors import FCOSConfig, SSDConfig, fcos_loss, ssd_loss
+    from .models.detectors import (
+        ATSSConfig,
+        FCOSConfig,
+        SSDConfig,
+        atss_loss,
+        fcos_loss,
+        ssd_loss,
+    )
+
+    if isinstance(det_cfg, ATSSConfig):
+        def loss_fn(params, batch_stats, batch):
+            cls, reg, ctr = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch["image"], train=True
+            )
+            losses = atss_loss(
+                det_cfg, cls, reg, ctr, batch["gt_boxes"], batch["gt_labels"],
+                batch["gt_valid"], img_shapes=batch.get("img_shape"),
+            )
+            return losses["loss"], {
+                "loss_cls": losses["loss_cls"],
+                "loss_reg": losses["loss_reg"],
+                "loss_centerness": losses["loss_centerness"],
+                "num_pos": losses["num_pos"],
+            }
+
+        return loss_fn
 
     if isinstance(det_cfg, FCOSConfig):
         def loss_fn(params, batch_stats, batch):

@@ -85,12 +85,14 @@ def make_serving_fn(
     2x2 space-to-depth u8 canvas (B, H/2, W/2, 12); ``img_shape`` stays in
     original coordinates."""
     from ..models.detectors import (
+        ATSSConfig,
         CascadeRCNNConfig,
         FasterRCNNConfig,
         FCOSConfig,
         MaskRCNN,
         SSDConfig,
         cascade_rcnn_inference,
+        decode_atss,
         decode_detections,
         decode_fcos,
         decode_ssd,
@@ -103,6 +105,7 @@ def make_serving_fn(
     is_mask = isinstance(model, MaskRCNN)
     is_ssd = isinstance(det_cfg, SSDConfig)
     is_fcos = isinstance(det_cfg, FCOSConfig)
+    is_atss = isinstance(det_cfg, ATSSConfig)
 
     def serve(image_u8, img_shape, scale_factor):
         if s2d_wire:
@@ -129,9 +132,10 @@ def make_serving_fn(
                 det_cfg, model, variables, x,
                 img_shapes=shapes_f, scale_factors=scale_factor,
             )
-        elif is_fcos:
+        elif is_fcos or is_atss:
             cls, reg, ctr = model.apply(variables, x)
-            d = decode_fcos(
+            decode3 = decode_atss if is_atss else decode_fcos
+            d = decode3(
                 det_cfg, cls, reg, ctr,
                 img_shapes=shapes_f, scale_factors=scale_factor,
             )

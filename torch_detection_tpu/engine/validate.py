@@ -30,11 +30,13 @@ def make_inference_fn(model, det_cfg) -> Callable:
     import jax
 
     from ..models.detectors import (
+        ATSSConfig,
         CascadeRCNNConfig,
         FasterRCNNConfig,
         FCOSConfig,
         SSDConfig,
         cascade_rcnn_inference,
+        decode_atss,
         decode_detections,
         decode_fcos,
         decode_ssd,
@@ -63,12 +65,13 @@ def make_inference_fn(model, det_cfg) -> Callable:
 
         return infer
 
-    if isinstance(det_cfg, FCOSConfig):
+    if isinstance(det_cfg, (FCOSConfig, ATSSConfig)):
+        decode3 = decode_atss if isinstance(det_cfg, ATSSConfig) else decode_fcos
 
         @jax.jit
         def infer(variables, image, img_shape, scale_factor):
             cls, reg, ctr = model.apply(variables, image)
-            return decode_fcos(
+            return decode3(
                 det_cfg, cls, reg, ctr,
                 img_shapes=img_shape, scale_factors=scale_factor,
             )

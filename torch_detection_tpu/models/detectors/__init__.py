@@ -11,6 +11,7 @@ from .two_stage import (
     faster_rcnn_loss,
 )
 from .fcos import FCOSConfig, decode_fcos, fcos_loss
+from .atss import ATSSConfig, atss_loss, decode_atss
 from .ssd import SSDConfig, decode_ssd, ssd_loss
 from .cascade_rcnn import (
     CascadeRCNN,
@@ -50,4 +51,7 @@ __all__ = [
     "FCOSConfig",
     "decode_fcos",
     "fcos_loss",
+    "ATSSConfig",
+    "atss_loss",
+    "decode_atss",
 ]

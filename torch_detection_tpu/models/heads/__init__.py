@@ -1,11 +1,13 @@
 from .anchor_head import RetinaHead, flatten_head_outputs
 from .bbox_head import BBoxHead
 from .fcos_head import FCOSHead
+from .atss_head import ATSSHead
 from .ssd_head import SSDHead
 from .rpn_head import ProposalConfig, Proposals, RPNHead, generate_proposals
 
 __all__ = [
     "RetinaHead",
+    "ATSSHead",
     "flatten_head_outputs",
     "BBoxHead",
     "ProposalConfig",

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .boxes import bbox_overlaps
-from .tpu_gather import gather_rows
+from .tpu_gather import gather_rows, take_per_row
 
 
 class AssignResult(NamedTuple):
@@ -125,6 +125,121 @@ class MaxIoUAssigner:
         else:
             labels = jnp.zeros((n,), jnp.int32)
         return AssignResult(assigned, max_overlaps, labels)
+
+
+@dataclasses.dataclass(frozen=True)
+class ATSSAssigner:
+    """Adaptive Training Sample Selection (Zhang et al., CVPR 2020).
+
+    Per gt: take the ``topk`` anchors closest in center distance within each
+    pyramid level as candidates, set the positive-IoU threshold to
+    mean + std of the candidate IoUs, and keep candidates at/above it whose
+    center lies inside the gt.  Anchors claimed by several gts go to the
+    highest-IoU one.
+
+    TPU formulation (all fixed shapes): the per-level top-k runs on the
+    (G, N_l) transposed distance matrix; candidate IoUs/centers are
+    small-output gathers (G x L*k rows — plain indexing is fine at this
+    scale, see ops/tpu_gather.py); the candidate -> anchor scatter writes
+    L*k*G flags into the (N, G) positive mask, and the final per-anchor
+    argmax resolves multi-gt claims.  std matches torch's unbiased estimator
+    (the semantics mmdetection's ATSS uses).
+
+    No reference counterpart (assigners are part of the empty ``core/`` tier,
+    SURVEY.md §2 #32 [ABSENT]).
+    """
+
+    topk: int = 9
+
+    def __call__(
+        self,
+        anchors: jnp.ndarray,  # (N, 4) flat, level-major
+        level_counts: Tuple[int, ...],  # static per-level anchor counts
+        gt_boxes: jnp.ndarray,  # (G, 4) zero-padded
+        gt_valid: jnp.ndarray,  # (G,) bool
+        gt_labels: Optional[jnp.ndarray] = None,  # (G,) int32
+        anchor_valid: Optional[jnp.ndarray] = None,  # (N,) bool
+    ) -> AssignResult:
+        n = anchors.shape[0]
+        g = gt_boxes.shape[0]
+        assert sum(level_counts) == n, (level_counts, n)
+
+        overlaps = bbox_overlaps(anchors, gt_boxes)  # (N, G)
+        if anchor_valid is not None:
+            # anchors outside the un-padded image never become candidates
+            overlaps = jnp.where(anchor_valid[:, None], overlaps, -1.0)
+
+        acx = (anchors[:, 0] + anchors[:, 2]) * 0.5
+        acy = (anchors[:, 1] + anchors[:, 3]) * 0.5
+        gcx = (gt_boxes[:, 0] + gt_boxes[:, 2]) * 0.5
+        gcy = (gt_boxes[:, 1] + gt_boxes[:, 3]) * 0.5
+        # squared distance selects the same top-k; skip the sqrt
+        dist2 = (acx[:, None] - gcx[None, :]) ** 2 + (
+            acy[:, None] - gcy[None, :]
+        ) ** 2  # (N, G)
+        if anchor_valid is not None:
+            dist2 = jnp.where(anchor_valid[:, None], dist2, jnp.inf)
+
+        cand_idx_parts = []
+        start = 0
+        for n_l in level_counts:
+            k_l = min(self.topk, n_l)
+            d_l = dist2[start : start + n_l].T  # (G, N_l)
+            _, idx = jax.lax.top_k(-d_l, k_l)  # (G, k_l) nearest
+            cand_idx_parts.append(idx.astype(jnp.int32) + start)
+            start += n_l
+        cand_idx = jnp.concatenate(cand_idx_parts, axis=1)  # (G, K)
+        k_total = cand_idx.shape[1]
+
+        ov_t = overlaps.T  # (G, N)
+        cand_iou = jnp.take_along_axis(ov_t, cand_idx, axis=1)  # (G, K)
+        mean = jnp.mean(cand_iou, axis=1)
+        var = jnp.sum((cand_iou - mean[:, None]) ** 2, axis=1) / max(k_total - 1, 1)
+        thr = mean + jnp.sqrt(var)  # (G,)
+
+        # candidate centers must lie inside the gt box
+        ccx = jnp.take_along_axis(
+            jnp.broadcast_to(acx[None, :], (g, n)), cand_idx, axis=1
+        )
+        ccy = jnp.take_along_axis(
+            jnp.broadcast_to(acy[None, :], (g, n)), cand_idx, axis=1
+        )
+        eps = 0.01
+        inside = (
+            (ccx - gt_boxes[:, 0][:, None] > eps)
+            & (ccy - gt_boxes[:, 1][:, None] > eps)
+            & (gt_boxes[:, 2][:, None] - ccx > eps)
+            & (gt_boxes[:, 3][:, None] - ccy > eps)
+        )
+        is_pos = (
+            (cand_iou >= thr[:, None]) & inside & gt_valid[:, None]
+        )  # (G, K)
+
+        # scatter candidate flags back to the (N, G) anchor-major mask
+        rows = cand_idx.reshape(-1)
+        cols = jnp.broadcast_to(
+            jnp.arange(g, dtype=jnp.int32)[:, None], (g, k_total)
+        ).reshape(-1)
+        pos_mask = (
+            jnp.zeros((n, g), jnp.int32)
+            .at[rows, cols]
+            .max(is_pos.reshape(-1).astype(jnp.int32))
+            .astype(bool)
+        )
+
+        masked = jnp.where(pos_mask, overlaps, -jnp.inf)
+        best_gt = jnp.argmax(masked, axis=1).astype(jnp.int32)  # (N,)
+        has_pos = jnp.any(pos_mask, axis=1)
+        assigned = jnp.where(has_pos, best_gt + 1, 0)
+        if anchor_valid is not None:
+            assigned = jnp.where(anchor_valid, assigned, -1)
+
+        max_overlaps = jnp.where(has_pos, take_per_row(overlaps, best_gt), 0.0)
+        if gt_labels is not None:
+            labels = jnp.where(assigned > 0, gather_rows(gt_labels, best_gt), 0)
+        else:
+            labels = jnp.zeros((n,), jnp.int32)
+        return AssignResult(assigned, max_overlaps.astype(jnp.float32), labels)
 
 
 class SampleResult(NamedTuple):
