@@ -482,6 +482,32 @@ def main():
     dt = timed(cfg8, args.iters)
     results.append({"config": "8: FCOS-R50 e2e inference", "images_per_sec": round(B / dt, 2)})
 
+    # ---- bonus: ATSS-R50 e2e (adaptive-assignment family; one anchor per
+    # location so the head is FCOS-weight but decode is delta-based)
+    from torch_detection_tpu.models.detectors import ATSSConfig, decode_atss
+
+    atss = build_detector(dict(
+        type="SingleStageDetector",
+        backbone=dict(type="ResNet", depth=50, num_stages=4, out_indices=(1, 2, 3)),
+        neck=dict(type="FPN", in_channels=(512, 1024, 2048), out_channels=256, num_outs=5,
+                  add_extra_convs=True, extra_convs_on_inputs=True,
+                  relu_before_extra_convs=True),
+        head=dict(type="ATSSHead", num_classes=80, in_channels=256,
+                  feat_channels=256, stacked_convs=4),
+    ), compute_dtype="bfloat16")
+    atss_cfg = ATSSConfig(num_classes=80, approx_top_k=True)
+    vars_at = jax.jit(atss.init)(jax.random.PRNGKey(0), xb0)
+
+    @jax.jit
+    def cfg9(acc):
+        x = fused_normalize_pad(xu8, shp, out_dtype=jnp.bfloat16)
+        cls, reg, ctr = atss.apply(vars_at, x)
+        d = decode_atss(atss_cfg, cls, reg, ctr)
+        return acc + jnp.sum(d.scores)
+
+    dt = timed(cfg9, args.iters)
+    results.append({"config": "9: ATSS-R50 e2e inference", "images_per_sec": round(B / dt, 2)})
+
     for r in results:
         print(json.dumps(r))
 
