@@ -127,6 +127,63 @@ class TestATSSAssigner:
         out = np.asarray(got.assigned_gt_inds)
         assert (out[: level_counts[0]] == -1).all()  # ignored, not pos/neg
 
+    def test_windowed_candidates_match_full_topk(self):
+        """The analytic k x k grid-window candidate path must reproduce the
+        full (G, N_l) distance top-k exactly — random gts, border-hugging
+        gts, several topk values, with and without the valid-prefix mask."""
+        gen = AnchorGenerator(
+            strides=(8, 16), ratios=(1.0,), octave_base_scale=8.0,
+            scales_per_octave=1,
+        )
+        sizes = [(12, 16), (6, 8)]
+        anchors = jnp.asarray(gen.flat_anchors(sizes))
+        level_counts = (12 * 16, 6 * 8)
+        level_grids = tuple(
+            (h, w, float(s)) for (h, w), s in zip(sizes, gen.strides)
+        )
+        acx = (anchors[:, 0] + anchors[:, 2]) * 0.5
+        acy = (anchors[:, 1] + anchors[:, 3]) * 0.5
+        rng = np.random.default_rng(11)
+        for topk in (3, 4, 9):
+            for trial in range(6):
+                g = 8
+                if trial < 3:
+                    x1 = rng.uniform(0, 100, g)
+                    y1 = rng.uniform(0, 80, g)
+                else:
+                    # hug the borders of the (un-padded) image region
+                    x1 = rng.choice([0.0, 1.0, 60.0, 62.0], g)
+                    y1 = rng.choice([0.0, 1.0, 40.0, 44.0], g)
+                gt = np.stack(
+                    [x1, y1, x1 + rng.uniform(6, 50, g),
+                     y1 + rng.uniform(6, 50, g)], axis=-1,
+                ).astype(np.float32)
+                gt_valid = jnp.asarray(rng.random(g) < 0.8)
+                labels = jnp.asarray(rng.integers(1, 5, g), jnp.int32)
+                asg = ATSSAssigner(topk=topk)
+
+                full = asg(anchors, level_counts, jnp.asarray(gt), gt_valid,
+                           labels)
+                win = asg(anchors, level_counts, jnp.asarray(gt), gt_valid,
+                          labels, level_grids=level_grids)
+                np.testing.assert_array_equal(
+                    np.asarray(full.assigned_gt_inds),
+                    np.asarray(win.assigned_gt_inds),
+                )
+
+                # valid-prefix case: anchors with centers inside (h, w) only
+                img_hw = jnp.asarray([72.0, 100.0])
+                av = (acx < img_hw[1]) & (acy < img_hw[0])
+                full_v = asg(anchors, level_counts, jnp.asarray(gt), gt_valid,
+                             labels, anchor_valid=av)
+                win_v = asg(anchors, level_counts, jnp.asarray(gt), gt_valid,
+                            labels, anchor_valid=av, level_grids=level_grids,
+                            img_hw=img_hw)
+                np.testing.assert_array_equal(
+                    np.asarray(full_v.assigned_gt_inds),
+                    np.asarray(win_v.assigned_gt_inds),
+                )
+
     def test_jits(self):
         anchors, level_counts = self._grid_anchors()
         # gt sized to the level-0 anchors (64x64): with a much smaller gt all

@@ -154,6 +154,34 @@ def test_golden_map_fcos(golden):
 
 
 @pytest.mark.slow
+def test_golden_map_atss(golden):
+    from torch_detection_tpu.models.detectors import ATSSConfig, SingleStageDetector
+    from torch_detection_tpu.ops.anchors import AnchorGenerator
+    from torch_detection_tpu.ops.assign import ATSSAssigner
+
+    model = SingleStageDetector(
+        backbone=dict(type="ResNet", depth=18, num_stages=3, out_indices=(0, 1, 2)),
+        neck=dict(type="FPN", in_channels=(64, 128, 256), out_channels=32, num_outs=3),
+        head=dict(type="ATSSHead", num_classes=2, in_channels=32, feat_channels=32,
+                  stacked_convs=1),
+    )
+    cfg = ATSSConfig(
+        num_classes=2,
+        # anchor sizes 16/32/64 bracket the fixture's 16-28 px squares
+        anchor_generator=AnchorGenerator(
+            strides=(4, 8, 16), ratios=(1.0,), octave_base_scale=4.0,
+            scales_per_octave=1,
+        ),
+        assigner=ATSSAssigner(topk=9),
+        score_thr=0.05, max_detections=10, pre_nms_top_k=100,
+        pre_select_per_level=50,
+    )
+    res = _train_and_eval(golden, model, cfg, steps=200)
+    assert res["mAP_50"] >= 0.5, res
+    assert res["mAP"] >= 0.15, res
+
+
+@pytest.mark.slow
 def test_golden_map_ssd(golden):
     from torch_detection_tpu.models.detectors import SingleStageDetector, SSDConfig
     from torch_detection_tpu.ops.anchors import SSDAnchorGenerator

@@ -159,7 +159,23 @@ class ATSSAssigner:
         gt_valid: jnp.ndarray,  # (G,) bool
         gt_labels: Optional[jnp.ndarray] = None,  # (G,) int32
         anchor_valid: Optional[jnp.ndarray] = None,  # (N,) bool
+        level_grids: Optional[Tuple[Tuple[int, int, float], ...]] = None,
+        img_hw: Optional[jnp.ndarray] = None,  # (2,) un-padded (h, w)
     ) -> AssignResult:
+        """``level_grids`` (per level ``(h, w, stride)``; requires one anchor
+        per location, row-major level-major layout) enables the windowed
+        candidate path: the per-gt per-level top-k runs over a small analytic
+        grid window instead of the full (G, N_l) distance matrix, which is
+        ~10x cheaper on TPU (the full top_k was 13 ms of a 15.7 ms assign @
+        b8 COCO canvas).  Exact: a top-k-nearest anchor must rank <= k among
+        the valid x coords AND the valid y coords (k closer columns would
+        each contain a strictly closer anchor at the same row), so the k
+        nearest valid coords per axis span a k x k window that provably
+        contains the top-k; in-window enumeration is flat-index-ordered, so
+        tie-breaking matches ``jax.lax.top_k``'s lowest-index rule.  With
+        ``img_hw`` the valid anchors form a prefix sub-grid (centers inside
+        the un-padded image) and the window is clamped into it — anchors
+        outside contribute IoU -1 exactly like the masked full path."""
         n = anchors.shape[0]
         g = gt_boxes.shape[0]
         assert sum(level_counts) == n, (level_counts, n)
@@ -173,22 +189,34 @@ class ATSSAssigner:
         acy = (anchors[:, 1] + anchors[:, 3]) * 0.5
         gcx = (gt_boxes[:, 0] + gt_boxes[:, 2]) * 0.5
         gcy = (gt_boxes[:, 1] + gt_boxes[:, 3]) * 0.5
-        # squared distance selects the same top-k; skip the sqrt
-        dist2 = (acx[:, None] - gcx[None, :]) ** 2 + (
-            acy[:, None] - gcy[None, :]
-        ) ** 2  # (N, G)
-        if anchor_valid is not None:
-            dist2 = jnp.where(anchor_valid[:, None], dist2, jnp.inf)
 
-        cand_idx_parts = []
-        start = 0
-        for n_l in level_counts:
-            k_l = min(self.topk, n_l)
-            d_l = dist2[start : start + n_l].T  # (G, N_l)
-            _, idx = jax.lax.top_k(-d_l, k_l)  # (G, k_l) nearest
-            cand_idx_parts.append(idx.astype(jnp.int32) + start)
-            start += n_l
-        cand_idx = jnp.concatenate(cand_idx_parts, axis=1)  # (G, K)
+        use_window = level_grids is not None and (
+            anchor_valid is None or img_hw is not None
+        )
+        if use_window:
+            cand_idx = self._window_candidates(
+                anchors, level_counts, level_grids, gcx, gcy,
+                img_hw if anchor_valid is not None else None,
+            )
+        else:
+            # generic path: full (N, G) distance matrix + per-level top_k
+            # (arbitrary anchor layouts / multi-anchor locations)
+            # squared distance selects the same top-k; skip the sqrt
+            dist2 = (acx[:, None] - gcx[None, :]) ** 2 + (
+                acy[:, None] - gcy[None, :]
+            ) ** 2  # (N, G)
+            if anchor_valid is not None:
+                dist2 = jnp.where(anchor_valid[:, None], dist2, jnp.inf)
+
+            cand_idx_parts = []
+            start = 0
+            for n_l in level_counts:
+                k_l = min(self.topk, n_l)
+                d_l = dist2[start : start + n_l].T  # (G, N_l)
+                _, idx = jax.lax.top_k(-d_l, k_l)  # (G, k_l) nearest
+                cand_idx_parts.append(idx.astype(jnp.int32) + start)
+                start += n_l
+            cand_idx = jnp.concatenate(cand_idx_parts, axis=1)  # (G, K)
         k_total = cand_idx.shape[1]
 
         ov_t = overlaps.T  # (G, N)
@@ -240,6 +268,71 @@ class ATSSAssigner:
         else:
             labels = jnp.zeros((n,), jnp.int32)
         return AssignResult(assigned, max_overlaps.astype(jnp.float32), labels)
+
+    def _window_candidates(
+        self,
+        anchors: jnp.ndarray,
+        level_counts: Tuple[int, ...],
+        level_grids: Tuple[Tuple[int, int, float], ...],
+        gcx: jnp.ndarray,  # (G,)
+        gcy: jnp.ndarray,  # (G,)
+        img_hw: Optional[jnp.ndarray],
+    ) -> jnp.ndarray:
+        """Per-level top-k nearest anchors via an analytic k x k grid window.
+
+        The m nearest integer coords to a query q are the contiguous range
+        starting at ceil(q - m/2) (round-centred; the lower coord wins exact
+        half ties, matching top_k's lowest-index preference)."""
+        g = gcx.shape[0]
+        parts = []
+        start = 0
+        for (h_l, w_l, s_l), n_l in zip(level_grids, level_counts):
+            assert h_l * w_l == n_l, (h_l, w_l, n_l)
+            k_l = min(self.topk, n_l)
+            ww = min(self.topk, w_l)
+            wh = min(self.topk, h_l)
+            c0x = (anchors[start, 0] + anchors[start, 2]) * 0.5
+            c0y = (anchors[start, 1] + anchors[start, 3]) * 0.5
+            if img_hw is not None:
+                # valid anchors are the prefix sub-grid with centers strictly
+                # inside the un-padded image; clamp the window into it so
+                # every in-range gt sees only valid candidates
+                wv = jnp.clip(
+                    jnp.ceil((img_hw[1] - c0x) / s_l), 1, w_l
+                ).astype(jnp.int32)
+                hv = jnp.clip(
+                    jnp.ceil((img_hw[0] - c0y) / s_l), 1, h_l
+                ).astype(jnp.int32)
+            else:
+                wv, hv = w_l, h_l
+            fx = (gcx - c0x) / s_l
+            fy = (gcy - c0y) / s_l
+            bx = jnp.clip(
+                jnp.ceil(fx - ww * 0.5).astype(jnp.int32), 0,
+                jnp.maximum(wv - ww, 0),
+            )
+            by = jnp.clip(
+                jnp.ceil(fy - wh * 0.5).astype(jnp.int32), 0,
+                jnp.maximum(hv - wh, 0),
+            )
+            jx = bx[:, None] + jnp.arange(ww, dtype=jnp.int32)  # (G, ww)
+            iy = by[:, None] + jnp.arange(wh, dtype=jnp.int32)  # (G, wh)
+            dx2 = (c0x + jx * s_l - gcx[:, None]) ** 2  # (G, ww)
+            dy2 = (c0y + iy * s_l - gcy[:, None]) ** 2  # (G, wh)
+            d2 = (dy2[:, :, None] + dx2[:, None, :]).reshape(g, wh * ww)
+            if img_hw is not None:
+                # window cells beyond the valid prefix (only when the prefix
+                # is narrower than the window) sort last, like inf-masked
+                # invalid anchors in the full path
+                ok = (iy < hv)[:, :, None] & (jx < wv)[:, None, :]
+                d2 = jnp.where(ok.reshape(g, wh * ww), d2, jnp.inf)
+            flat = (start + iy[:, :, None] * w_l + jx[:, None, :]).reshape(
+                g, wh * ww
+            )
+            _, sel = jax.lax.top_k(-d2, k_l)  # (G, k_l) over <= topk^2 cells
+            parts.append(jnp.take_along_axis(flat, sel, axis=1))
+            start += n_l
+        return jnp.concatenate(parts, axis=1)  # (G, K)
 
 
 class SampleResult(NamedTuple):
