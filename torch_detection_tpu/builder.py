@@ -112,6 +112,30 @@ def build_detection_cfg(det_cfg: Dict[str, Any]):
                 kwargs[key] = tuple(v) if isinstance(v, list) else v
         return ATSSConfig(**kwargs)
 
+    if style == "yolo":
+        from .models.detectors import YOLOV3Config
+        from .ops.anchors import YOLOAnchorGenerator
+        from .ops.assign import GridAssigner
+
+        kwargs = {}
+        if anchor:
+            kwargs["anchor_generator"] = YOLOAnchorGenerator(
+                strides=tuple(anchor["strides"]),
+                base_sizes=tuple(
+                    tuple(tuple(p) for p in lvl) for lvl in anchor["base_sizes"]
+                ),
+            )
+        if assigner:
+            kwargs["assigner"] = GridAssigner(**assigner)
+        for key in ("num_classes", "loss_xy_weight", "loss_wh_weight",
+                    "loss_conf_weight", "loss_cls_weight", "conf_thr",
+                    "score_thr", "nms_iou_thr", "pre_select_per_level",
+                    "pre_nms_top_k", "max_detections", "approx_top_k"):
+            if key in cfg:
+                v = cfg[key]
+                kwargs[key] = tuple(v) if isinstance(v, list) else v
+        return YOLOV3Config(**kwargs)
+
     if style == "ssd":
         from .models.detectors import SSDConfig
         from .ops.anchors import SSDAnchorGenerator
@@ -247,10 +271,31 @@ def build_loss_fn(model, det_cfg, rng_seed: int = 0):
         ATSSConfig,
         FCOSConfig,
         SSDConfig,
+        YOLOV3Config,
         atss_loss,
         fcos_loss,
         ssd_loss,
+        yolo_loss,
     )
+
+    if isinstance(det_cfg, YOLOV3Config):
+        def loss_fn(params, batch_stats, batch):
+            pred_maps = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch["image"], train=True
+            )
+            losses = yolo_loss(
+                det_cfg, pred_maps, batch["gt_boxes"], batch["gt_labels"],
+                batch["gt_valid"], img_shapes=batch.get("img_shape"),
+            )
+            return losses["loss"], {
+                "loss_xy": losses["loss_xy"],
+                "loss_wh": losses["loss_wh"],
+                "loss_conf": losses["loss_conf"],
+                "loss_cls": losses["loss_cls"],
+                "num_pos": losses["num_pos"],
+            }
+
+        return loss_fn
 
     if isinstance(det_cfg, ATSSConfig):
         def loss_fn(params, batch_stats, batch):

@@ -96,9 +96,11 @@ def make_serving_fn(
         decode_detections,
         decode_fcos,
         decode_ssd,
+        decode_yolo,
         faster_rcnn_inference,
         mask_rcnn_inference,
     )
+    from ..models.detectors import YOLOV3Config
 
     is_cascade = isinstance(det_cfg, CascadeRCNNConfig)
     is_two_stage = isinstance(det_cfg, FasterRCNNConfig) and not is_cascade
@@ -106,6 +108,7 @@ def make_serving_fn(
     is_ssd = isinstance(det_cfg, SSDConfig)
     is_fcos = isinstance(det_cfg, FCOSConfig)
     is_atss = isinstance(det_cfg, ATSSConfig)
+    is_yolo = isinstance(det_cfg, YOLOV3Config)
 
     def serve(image_u8, img_shape, scale_factor):
         if s2d_wire:
@@ -138,6 +141,11 @@ def make_serving_fn(
             d = decode3(
                 det_cfg, cls, reg, ctr,
                 img_shapes=shapes_f, scale_factors=scale_factor,
+            )
+        elif is_yolo:
+            pred_maps = model.apply(variables, x)
+            d = decode_yolo(
+                det_cfg, pred_maps, img_shapes=shapes_f, scale_factors=scale_factor
             )
         elif is_ssd:
             cls, reg = model.apply(variables, x)

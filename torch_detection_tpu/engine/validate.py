@@ -42,6 +42,19 @@ def make_inference_fn(model, det_cfg) -> Callable:
         decode_ssd,
         faster_rcnn_inference,
     )
+    from ..models.detectors import YOLOV3Config, decode_yolo
+
+    if isinstance(det_cfg, YOLOV3Config):
+
+        @jax.jit
+        def infer(variables, image, img_shape, scale_factor):
+            pred_maps = model.apply(variables, image)
+            return decode_yolo(
+                det_cfg, pred_maps,
+                img_shapes=img_shape, scale_factors=scale_factor,
+            )
+
+        return infer
 
     if isinstance(det_cfg, CascadeRCNNConfig):
 

@@ -1,3 +1,4 @@
+from .darknet import Darknet
 from .mobilenet import MobileNet, MobileNetV2
 from .resnet import ResNet, ResNeXt, SEResNet, SEResNeXt
 from .shufflenet import ShuffleNet, ShuffleNetV2
@@ -5,6 +6,7 @@ from .ssd_vgg import SSDVGG
 from .vgg import VGG
 
 __all__ = [
+    "Darknet",
     "MobileNet",
     "MobileNetV2",
     "ResNet",

@@ -13,6 +13,7 @@ from .two_stage import (
 from .fcos import FCOSConfig, decode_fcos, fcos_loss
 from .atss import ATSSConfig, atss_loss, decode_atss
 from .ssd import SSDConfig, decode_ssd, ssd_loss
+from .yolov3 import YOLOV3Config, decode_yolo, yolo_loss
 from .cascade_rcnn import (
     CascadeRCNN,
     CascadeRCNNConfig,
@@ -54,4 +55,7 @@ __all__ = [
     "ATSSConfig",
     "atss_loss",
     "decode_atss",
+    "YOLOV3Config",
+    "decode_yolo",
+    "yolo_loss",
 ]

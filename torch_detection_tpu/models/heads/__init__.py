@@ -3,9 +3,11 @@ from .bbox_head import BBoxHead
 from .fcos_head import FCOSHead
 from .atss_head import ATSSHead
 from .ssd_head import SSDHead
+from .yolo_head import YOLOV3Head
 from .rpn_head import ProposalConfig, Proposals, RPNHead, generate_proposals
 
 __all__ = [
+    "YOLOV3Head",
     "RetinaHead",
     "ATSSHead",
     "flatten_head_outputs",

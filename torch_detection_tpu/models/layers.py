@@ -98,6 +98,8 @@ def build_norm(norm_cfg: Optional[dict], dtype: Optional[Dtype] = None, name: Op
 _ACTS: dict = {
     "relu": nn.relu,
     "relu6": lambda x: jnp.minimum(nn.relu(x), 6.0),
+    # Darknet convention (YOLO family): slope 0.1, not flax's 0.01 default
+    "leaky_relu": lambda x: nn.leaky_relu(x, negative_slope=0.1),
     "gelu": nn.gelu,
     "silu": nn.silu,
     "sigmoid": nn.sigmoid,

@@ -1,3 +1,4 @@
 from .fpn import FPN, PAFPN
+from .yolo_neck import YOLOV3Neck
 
-__all__ = ["FPN", "PAFPN"]
+__all__ = ["FPN", "PAFPN", "YOLOV3Neck"]

@@ -160,6 +160,83 @@ class AnchorGenerator:
 
 
 @dataclasses.dataclass(frozen=True)
+class YOLOAnchorGenerator:
+    """YOLOv3 anchors: explicit per-level (w, h) base sizes, cell-centered.
+
+    Canonical COCO geometry (608-input k-means priors), levels ordered
+    coarse->fine to match the YOLOV3Neck/Head output order.  Each cell emits
+    one anchor per (w, h) pair centered on ``(i + 0.5) * stride``.
+    """
+
+    strides: Tuple[int, ...] = (32, 16, 8)
+    base_sizes: Tuple[Tuple[Tuple[float, float], ...], ...] = (
+        ((116.0, 90.0), (156.0, 198.0), (373.0, 326.0)),
+        ((30.0, 61.0), (62.0, 45.0), (59.0, 119.0)),
+        ((10.0, 13.0), (16.0, 30.0), (33.0, 23.0)),
+    )
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.strides)
+
+    @property
+    def num_base_anchors(self) -> int:
+        return len(self.base_sizes[0])
+
+    def base_anchors_for_level(self, level: int) -> jnp.ndarray:
+        c = 0.5 * float(self.strides[level])
+        rows = [
+            (c - 0.5 * w, c - 0.5 * h, c + 0.5 * w, c + 0.5 * h)
+            for w, h in self.base_sizes[level]
+        ]
+        return jnp.asarray(rows, jnp.float32)
+
+    def grid_anchors(self, featmap_sizes: Sequence[Tuple[int, int]]) -> List[jnp.ndarray]:
+        assert len(featmap_sizes) == self.num_levels
+        return [
+            grid_anchors(self.base_anchors_for_level(i), featmap_sizes[i], self.strides[i])
+            for i in range(self.num_levels)
+        ]
+
+    def flat_anchors(self, featmap_sizes: Sequence[Tuple[int, int]]) -> jnp.ndarray:
+        return jnp.concatenate(self.grid_anchors(featmap_sizes), axis=0)
+
+    def flat_strides(self, featmap_sizes: Sequence[Tuple[int, int]]) -> jnp.ndarray:
+        """(N,) f32 stride of each flat anchor (encode/decode scale)."""
+        per_level = [
+            jnp.full((h * w * self.num_base_anchors,), float(s), jnp.float32)
+            for (h, w), s in zip(featmap_sizes, self.strides)
+        ]
+        return jnp.concatenate(per_level, axis=0)
+
+    def responsible_flags(
+        self,
+        featmap_sizes: Sequence[Tuple[int, int]],
+        gt_boxes: jnp.ndarray,  # (G, 4) xyxy
+        gt_valid: jnp.ndarray,  # (G,) bool
+    ) -> jnp.ndarray:
+        """(N,) bool — YOLO responsibility: the anchors of the grid cell
+        containing a gt center (at every level) may own that gt."""
+        cx = 0.5 * (gt_boxes[:, 0] + gt_boxes[:, 2])
+        cy = 0.5 * (gt_boxes[:, 1] + gt_boxes[:, 3])
+        flags = []
+        for (h, w), s in zip(featmap_sizes, self.strides):
+            gx = jnp.clip(jnp.floor(cx / s).astype(jnp.int32), 0, w - 1)
+            gy = jnp.clip(jnp.floor(cy / s).astype(jnp.int32), 0, h - 1)
+            gt_cell = gy * w + gx  # (G,)
+            cells = jnp.arange(h * w, dtype=jnp.int32)
+            hit = jnp.any(
+                (cells[:, None] == gt_cell[None, :]) & gt_valid[None, :], axis=1
+            )  # (H*W,)
+            flags.append(jnp.repeat(hit, self.num_base_anchors))
+        return jnp.concatenate(flags, axis=0)
+
+    def featmap_sizes_for(self, pad_shape: Tuple[int, int]) -> List[Tuple[int, int]]:
+        h, w = pad_shape
+        return [(int(math.ceil(h / s)), int(math.ceil(w / s))) for s in self.strides]
+
+
+@dataclasses.dataclass(frozen=True)
 class SSDAnchorGenerator:
     """SSD-style per-level anchors (min/max size pairs + per-level ratios).
 

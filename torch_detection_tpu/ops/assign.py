@@ -128,6 +128,69 @@ class MaxIoUAssigner:
 
 
 @dataclasses.dataclass(frozen=True)
+class GridAssigner:
+    """YOLO grid assignment: positives restricted to *responsible* anchors.
+
+    Same rule ladder as MaxIoUAssigner, except rules 3-4 only consider
+    anchors whose ``responsible`` flag is set (YOLO: the anchors of the grid
+    cell containing a gt's center — ``YOLOAnchorGenerator.responsible_flags``).
+    The negative rule (2) still looks at ALL anchors' best IoU, so a
+    non-responsible anchor overlapping a gt above ``neg_iou_thr`` stays
+    ignored (-1) rather than becoming a negative.
+    """
+
+    pos_iou_thr: float = 0.5
+    neg_iou_thr: float = 0.5
+    min_pos_iou: float = 0.0
+
+    def __call__(
+        self,
+        anchors: jnp.ndarray,  # (N, 4)
+        responsible: jnp.ndarray,  # (N,) bool
+        gt_boxes: jnp.ndarray,  # (G, 4) zero-padded
+        gt_valid: jnp.ndarray,  # (G,) bool
+        gt_labels: Optional[jnp.ndarray] = None,  # (G,)
+        anchor_valid: Optional[jnp.ndarray] = None,  # (N,) bool
+    ) -> AssignResult:
+        n = anchors.shape[0]
+        overlaps = bbox_overlaps(anchors, gt_boxes)  # (N, G)
+        overlaps = jnp.where(gt_valid[None, :], overlaps, -1.0)
+        max_overlaps = jnp.max(overlaps, axis=1)
+
+        any_gt = jnp.any(gt_valid)
+        assigned = jnp.full((n,), -1, jnp.int32)
+        is_neg = (max_overlaps < self.neg_iou_thr) | ~any_gt
+        assigned = jnp.where(is_neg, 0, assigned)
+
+        # rules 3-4 see only responsible anchors
+        ovr_resp = jnp.where(responsible[:, None], overlaps, -1.0)
+        max_r = jnp.max(ovr_resp, axis=1)
+        arg_r = jnp.argmax(ovr_resp, axis=1).astype(jnp.int32)
+        is_pos = any_gt & responsible & (max_r >= self.pos_iou_thr)
+        assigned = jnp.where(is_pos, arg_r + 1, assigned)
+
+        # rule 4: each gt claims its best responsible anchor (>= min_pos_iou);
+        # an anchor tying several gts prefers the highest-IoU one (same
+        # deterministic tie-break as MaxIoUAssigner)
+        gt_max = jnp.max(ovr_resp, axis=0)  # (G,)
+        qualify = gt_valid & (gt_max >= self.min_pos_iou) & (gt_max > 0)
+        tie = (ovr_resp == gt_max[None, :]) & qualify[None, :]
+        tie_any = jnp.any(tie, axis=1)
+        tie_best = jnp.argmax(jnp.where(tie, ovr_resp, -jnp.inf), axis=1)
+        assigned = jnp.where(tie_any, tie_best.astype(jnp.int32) + 1, assigned)
+
+        if anchor_valid is not None:
+            assigned = jnp.where(anchor_valid, assigned, -1)
+
+        if gt_labels is not None:
+            safe_idx = jnp.clip(assigned - 1, 0, gt_boxes.shape[0] - 1)
+            labels = jnp.where(assigned > 0, gather_rows(gt_labels, safe_idx), 0)
+        else:
+            labels = jnp.zeros((n,), jnp.int32)
+        return AssignResult(assigned, max_overlaps, labels)
+
+
+@dataclasses.dataclass(frozen=True)
 class ATSSAssigner:
     """Adaptive Training Sample Selection (Zhang et al., CVPR 2020).
 
