@@ -508,6 +508,36 @@ def main():
     dt = timed(cfg9, args.iters)
     results.append({"config": "9: ATSS-R50 e2e inference", "images_per_sec": round(B / dt, 2)})
 
+    # ---- bonus: YOLOv3-D53 e2e at its canonical 608x608 canvas (own input:
+    # the square canvas is the family's convention, not the COCO 800x1216 one)
+    from torch_detection_tpu.models.detectors import YOLOV3Config, decode_yolo
+
+    yolo = build_detector(dict(
+        type="SingleStageDetector",
+        backbone=dict(type="Darknet", depth=53, out_indices=(2, 3, 4),
+                      norm_cfg=dict(type="FrozenBN")),
+        neck=dict(type="YOLOV3Neck", in_channels=(256, 512, 1024),
+                  out_channels=(512, 256, 128)),
+        head=dict(type="YOLOV3Head", num_classes=80, in_channels=(512, 256, 128),
+                  out_channels=(1024, 512, 256)),
+    ), compute_dtype="bfloat16")
+    yolo_cfg = YOLOV3Config(num_classes=80, approx_top_k=True)
+    xy0 = jnp.zeros((B, 608, 608, 3), jnp.bfloat16)
+    vars_yl = jax.jit(yolo.init)(jax.random.PRNGKey(0), xy0)
+    xu8_y = jnp.asarray(rng.integers(0, 255, (B, 608, 608, 3), dtype=np.uint8))
+    shp_y = jnp.asarray([[608, 608]] * B, jnp.int32)
+
+    @jax.jit
+    def cfg10(acc):
+        x = fused_normalize_pad(xu8_y, shp_y, mean=(0.0, 0.0, 0.0),
+                                std=(255.0, 255.0, 255.0), out_dtype=jnp.bfloat16)
+        pred_maps = yolo.apply(vars_yl, x)
+        d = decode_yolo(yolo_cfg, pred_maps, img_shapes=shp_y)
+        return acc + jnp.sum(d.scores)
+
+    dt = timed(cfg10, args.iters)
+    results.append({"config": "10: YOLOv3-D53 e2e inference (608x608)", "images_per_sec": round(B / dt, 2)})
+
     for r in results:
         print(json.dumps(r))
 
