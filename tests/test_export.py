@@ -191,3 +191,51 @@ class TestServingExport:
                 np.asarray(direct[k], np.float32),
                 rtol=2e-3, atol=2e-3,
             )
+
+
+class TestServingExportYOLO:
+    def test_yolo_roundtrip(self, tmp_path, rng):
+        from torch_detection_tpu.models.detectors import YOLOV3Config
+        from torch_detection_tpu.ops.anchors import YOLOAnchorGenerator
+
+        model = SingleStageDetector(
+            backbone=dict(type="Darknet", depth=53, stages=(1, 1, 1, 1, 1),
+                          base_channels=8, out_indices=(2, 3, 4)),
+            neck=dict(type="YOLOV3Neck", in_channels=(64, 128, 256),
+                      out_channels=(64, 32, 16)),
+            head=dict(type="YOLOV3Head", num_classes=4, anchors_per_level=1,
+                      in_channels=(64, 32, 16), out_channels=(128, 64, 32)),
+        )
+        cfg = YOLOV3Config(
+            num_classes=4,
+            anchor_generator=YOLOAnchorGenerator(
+                strides=(32, 16, 8),
+                base_sizes=(((48.0, 48.0),), ((24.0, 24.0),), ((12.0, 12.0),)),
+            ),
+            max_detections=10, pre_nms_top_k=100, score_thr=0.0, conf_thr=0.0,
+            pre_select_per_level=50,
+        )
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        exported = export_serving(
+            model, cfg, variables, batch=2, canvas=(64, 64),
+            compute_dtype=jnp.float32,
+        )
+        path = os.path.join(tmp_path, "yolo.jaxexp")
+        save_serving(exported, path)
+
+        img = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+        shp = np.asarray([[64, 64], [48, 56]], np.int32)
+        sf = np.asarray([1.0, 2.0], np.float32)
+        served = load_serving(path)(img, shp, sf)
+        direct = make_serving_fn(
+            model, cfg, variables, compute_dtype=jnp.float32
+        )(jnp.asarray(img), jnp.asarray(shp), jnp.asarray(sf))
+        assert set(served) == {"boxes", "scores", "labels", "valid"}
+        for k in served:
+            np.testing.assert_allclose(
+                np.asarray(served[k], np.float32),
+                np.asarray(direct[k], np.float32),
+                rtol=1e-5, atol=1e-5,
+            )
+        assert np.asarray(served["valid"]).sum() > 0

@@ -352,3 +352,70 @@ def test_two_replica_atss_step_matches_single(coco_dataset):
         ),
         s1.params, jax.device_get(s2.params),
     )
+
+
+def test_two_replica_yolo_step_matches_single(coco_dataset):
+    """YOLOv3 DP-sharded train step == single-device step: grid-responsible
+    anchor assignment is per-image, so the sharded loss must match the
+    unsharded one modulo GSPMD reassociation."""
+    from torch_detection_tpu.models.detectors import YOLOV3Config, yolo_loss
+    from torch_detection_tpu.ops.anchors import YOLOAnchorGenerator
+
+    model = SingleStageDetector(
+        backbone=dict(type="Darknet", depth=53, stages=(1, 1, 1, 1, 1),
+                      base_channels=8, out_indices=(2, 3, 4)),
+        neck=dict(type="YOLOV3Neck", in_channels=(64, 128, 256),
+                  out_channels=(64, 32, 16)),
+        head=dict(type="YOLOV3Head", num_classes=2, anchors_per_level=1,
+                  in_channels=(64, 32, 16), out_channels=(128, 64, 32)),
+    )
+    det_cfg = YOLOV3Config(
+        num_classes=2,
+        anchor_generator=YOLOAnchorGenerator(
+            strides=(32, 16, 8),
+            base_sizes=(((48.0, 48.0),), ((24.0, 24.0),), ((12.0, 12.0),)),
+        ),
+    )
+
+    def loss_fn(params, batch_stats, batch):
+        pred_maps = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch["image"], train=True
+        )
+        losses = yolo_loss(
+            det_cfg, pred_maps, batch["gt_boxes"], batch["gt_labels"],
+            batch["gt_valid"], img_shapes=batch.get("img_shape"),
+        )
+        return losses["loss"], {"loss_conf": losses["loss_conf"]}
+
+    local = []
+    for rank in (0, 1):
+        batch = next(iter(_replica_loader(coco_dataset, rank)))
+        batch.pop("img_meta", None)
+        local.append(batch)
+    global_batch = {
+        k: np.concatenate([local[0][k], local[1][k]]) for k in local[0]
+    }
+
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    tx = optax.sgd(0.01, momentum=0.9)
+
+    s1 = create_train_state(variables["params"], tx, batch_stats=variables["batch_stats"])
+    step1 = make_train_step(loss_fn, tx, donate_state=False)
+    s1, m1 = step1(s1, {k: jnp.asarray(v) for k, v in global_batch.items()})
+
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    with mesh:
+        params = shard_params(mesh, variables["params"])
+        stats = shard_params(mesh, variables["batch_stats"])
+        s2 = create_train_state(params, tx, batch_stats=stats)
+        step2 = make_train_step(loss_fn, tx, mesh=mesh, donate_state=False)(s2)
+        s2, m2 = step2(s2, shard_batch(mesh, global_batch))
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=2e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+        ),
+        s1.params, jax.device_get(s2.params),
+    )
