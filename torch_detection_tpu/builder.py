@@ -79,6 +79,22 @@ def build_detection_cfg(det_cfg: Dict[str, Any]):
             )
         return cls(**kwargs)
 
+    if style == "fast_rcnn":
+        from .models.detectors import FastRCNNConfig
+        from .ops.assign import MaxIoUAssigner as _Assigner
+
+        kwargs = {}
+        if assigner:
+            kwargs["rcnn_assigner"] = _Assigner(**assigner)
+        for key in ("num_classes", "roi_size", "finest_scale",
+                    "rcnn_num_samples", "rcnn_pos_fraction", "smooth_l1_beta",
+                    "score_thr", "nms_iou_thr", "max_detections",
+                    "approx_top_k"):
+            if key in cfg:
+                v = cfg[key]
+                kwargs[key] = tuple(v) if isinstance(v, list) else v
+        return FastRCNNConfig(**kwargs)
+
     if style == "fcos":
         from .models.detectors import FCOSConfig
 
@@ -185,9 +201,21 @@ def init_detector_variables(model, det_cfg, model_cfg, sample_image, seed: int =
     """
     import jax
 
-    from .models.detectors import CascadeRCNN, MaskRCNN, TwoStageDetector
+    from .models.detectors import CascadeRCNN, FastRCNN, MaskRCNN, TwoStageDetector
 
     variables = jax.jit(model.init)(jax.random.PRNGKey(seed), sample_image)
+    if isinstance(model, FastRCNN):
+        feat_ch = model_cfg["neck"]["out_channels"]
+        roi_size = getattr(det_cfg, "roi_size", 7)
+        vars2 = model.init(
+            jax.random.PRNGKey(seed + 1),
+            jnp.zeros((1, 8, roi_size, roi_size, feat_ch), jnp.float32),
+            method=FastRCNN.roi_forward,
+        )
+        return {
+            "params": {**variables["params"], **dict(vars2["params"])},
+            "batch_stats": variables.get("batch_stats", {}),
+        }
     if not isinstance(model, TwoStageDetector):
         return variables
 
@@ -262,6 +290,17 @@ def build_loss_fn(model, det_cfg, rng_seed: int = 0):
         def loss_fn(params, batch_stats, batch, step=0):
             variables = {"params": params, "batch_stats": batch_stats}
             losses = faster_rcnn_loss(det_cfg, model, variables, batch, _step_rng(step))
+            aux = {k: v for k, v in losses.items() if k != "loss"}
+            return losses["loss"], aux
+
+        return loss_fn
+
+    from .models.detectors import FastRCNNConfig, fast_rcnn_loss
+
+    if isinstance(det_cfg, FastRCNNConfig):
+        def loss_fn(params, batch_stats, batch, step=0):
+            variables = {"params": params, "batch_stats": batch_stats}
+            losses = fast_rcnn_loss(det_cfg, model, variables, batch, _step_rng(step))
             aux = {k: v for k, v in losses.items() if k != "loss"}
             return losses["loss"], aux
 
@@ -394,6 +433,8 @@ def build_train_objects(cfg, data_parallel: int = 1) -> Tuple[Any, RetinaNetConf
         canvas=tuple(data_cfg["canvas"]) if data_cfg.get("canvas") else None,
         size_divisor=data_cfg["train"].get("size_divisor", 32) or 32,
         workers=int(data_cfg.get("workers_per_host", 0)),
+        # Fast R-CNN: fixed proposal slate so one XLA program serves every batch
+        max_proposals=data_cfg.get("max_proposals"),
         # stem_s2d backbones take the space-to-depth wire straight from the
         # loader (host-side relayout is free; on-device it is not)
         s2d=bool(cfg["model"].get("backbone", {}).get("stem_s2d", False)),

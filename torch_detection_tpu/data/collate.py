@@ -58,6 +58,7 @@ def collate(
     canvas_buckets: Optional[Sequence[Tuple[int, int]]] = None,
     size_divisor: int = 32,
     s2d: bool = False,
+    max_proposals: Optional[int] = None,
 ) -> Dict:
     """Collate training samples (dicts of DataContainers) into one batch.
 
@@ -117,11 +118,13 @@ def collate(
 
     if "proposals" in samples[0]:
         width = samples[0]["proposals"].data.shape[-1]
-        n_prop = max(len(s["proposals"].data) for s in samples)
+        # pad to a FIXED slate when max_proposals is given (one jitted train
+        # program regardless of per-batch proposal counts); else batch max
+        n_prop = max_proposals or max(len(s["proposals"].data) for s in samples)
         props = np.zeros((b, n_prop, width), np.float32)
         prop_valid = np.zeros((b, n_prop), bool)
         for i, s in enumerate(samples):
-            p = s["proposals"].data
+            p = s["proposals"].data[:n_prop]
             props[i, : len(p)] = p
             prop_valid[i, : len(p)] = True
         batch["proposals"] = props

@@ -137,6 +137,7 @@ def build_dataloader(
     prefetch: int = 2,
     workers: int = 0,
     s2d: bool = False,
+    max_proposals: Optional[int] = None,
     collate_fn: Optional[Callable] = None,
 ) -> DataLoader:
     """Build a loader with grouped (or distributed grouped) sampling.
@@ -162,6 +163,7 @@ def build_dataloader(
                 canvas_buckets=canvas_buckets,
                 size_divisor=size_divisor,
                 s2d=s2d,
+                max_proposals=max_proposals,
             )
 
     return DataLoader(

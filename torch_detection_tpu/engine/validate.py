@@ -78,6 +78,20 @@ def make_inference_fn(model, det_cfg) -> Callable:
 
         return infer
 
+    from ..models.detectors import FastRCNNConfig, fast_rcnn_inference
+
+    if isinstance(det_cfg, FastRCNNConfig):
+        # proposal-based: the evaluator threads the dataset's (transformed)
+        # proposal slate through as two extra arguments
+        @jax.jit
+        def infer(variables, image, img_shape, scale_factor, proposals, proposal_valid):
+            return fast_rcnn_inference(
+                det_cfg, model, variables, image, proposals, proposal_valid,
+                img_shapes=img_shape, scale_factors=scale_factor,
+            )
+
+        return infer
+
     if isinstance(det_cfg, (FCOSConfig, ATSSConfig)):
         decode3 = decode_atss if isinstance(det_cfg, ATSSConfig) else decode_fcos
 
@@ -127,30 +141,45 @@ def evaluate_detector(
     from .eval import eval_coco_map, eval_voc_map
     from .tta import merge_tta_detections
 
+    from ..models.detectors import FastRCNNConfig
+
     if infer is None:
         infer = make_inference_fn(model, det_cfg)
 
+    needs_props = isinstance(det_cfg, FastRCNNConfig)
+    prop_cap = int(getattr(dataset, "num_max_proposals", 1000)) if needs_props else 0
+
     n = len(dataset) if max_images is None else min(max_images, len(dataset))
     results: Dict = {}  # (img_idx, aug_idx) -> per-aug detection dict
-    pending: Dict = {}  # bucket (H, W) -> list of (img_idx, aug_idx, img, img_shape)
+    pending: Dict = {}  # bucket (H, W) -> list of (img_idx, aug_idx, img, img_shape, prop)
     metas_all = [None] * n
 
     def flush(bucket, items):
         pad_to = batch
         padded = np.zeros((pad_to, bucket[0], bucket[1], 3), np.float32)
         shapes = np.ones((pad_to, 2), np.float32)
-        for j, (_, _, img, img_shape) in enumerate(items):
+        for j, (_, _, img, img_shape, _) in enumerate(items):
             padded[j, : img.shape[0], : img.shape[1]] = img
             shapes[j] = img_shape
+        extra = ()
+        if needs_props:
+            props = np.zeros((pad_to, prop_cap, 4), np.float32)
+            pvalid = np.zeros((pad_to, prop_cap), bool)
+            for j, (_, _, _, _, prop) in enumerate(items):
+                p = np.asarray(prop, np.float32)[:prop_cap, :4]
+                props[j, : len(p)] = p
+                pvalid[j, : len(p)] = True
+            extra = (jnp.asarray(props), jnp.asarray(pvalid))
         res = infer(
             variables, jnp.asarray(padded), jnp.asarray(shapes),
             jnp.ones((pad_to,), jnp.float32),  # undo scale in TTA merge
+            *extra,
         )
         boxes = np.asarray(res.boxes)
         scores = np.asarray(res.scores)
         labels = np.asarray(res.labels)
         valid = np.asarray(res.valid)
-        for j, (img_idx, aug_idx, _, _) in enumerate(items):
+        for j, (img_idx, aug_idx, _, _, _) in enumerate(items):
             v = valid[j]
             results[(img_idx, aug_idx)] = dict(
                 boxes=boxes[j][v], scores=scores[j][v], labels=labels[j][v]
@@ -166,8 +195,9 @@ def evaluate_detector(
             else:
                 bucket = pick_canvas([img.shape[:2]], size_divisor=128)
             items = pending.setdefault(bucket, [])
+            prop = sample["proposals"][aug_idx] if needs_props else None
             items.append(
-                (i, aug_idx, img, (meta["img_shape"][0], meta["img_shape"][1]))
+                (i, aug_idx, img, (meta["img_shape"][0], meta["img_shape"][1]), prop)
             )
             if len(items) == batch:
                 flush(bucket, items)

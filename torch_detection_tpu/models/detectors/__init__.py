@@ -14,6 +14,12 @@ from .fcos import FCOSConfig, decode_fcos, fcos_loss
 from .atss import ATSSConfig, atss_loss, decode_atss
 from .ssd import SSDConfig, decode_ssd, ssd_loss
 from .yolov3 import YOLOV3Config, decode_yolo, yolo_loss
+from .fast_rcnn import (
+    FastRCNN,
+    FastRCNNConfig,
+    fast_rcnn_inference,
+    fast_rcnn_loss,
+)
 from .cascade_rcnn import (
     CascadeRCNN,
     CascadeRCNNConfig,
@@ -34,6 +40,10 @@ __all__ = [
     "decode_detections",
     "retina_loss",
     "FasterRCNNConfig",
+    "FastRCNN",
+    "FastRCNNConfig",
+    "fast_rcnn_inference",
+    "fast_rcnn_loss",
     "CascadeRCNN",
     "CascadeRCNNConfig",
     "cascade_rcnn_inference",
