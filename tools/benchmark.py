@@ -389,6 +389,46 @@ def main():
     dt = timed(cfg6, args.iters)
     results.append({"config": "6: Faster R-CNN e2e inference", "images_per_sec": round(fb / dt, 2)})
 
+    # ---- bonus: Fast R-CNN (precomputed proposals, no RPN) on a full
+    # 1000-roi slate — isolates the RoI+head cost from proposal generation
+    from torch_detection_tpu.models.detectors import (
+        FastRCNN,
+        FastRCNNConfig,
+        fast_rcnn_inference,
+    )
+
+    fastr = FastRCNN(
+        backbone=dict(type="ResNet", depth=50, num_stages=4, out_indices=(0, 1, 2, 3), dtype=jnp.bfloat16),
+        neck=dict(type="FPN", in_channels=(256, 512, 1024, 2048), out_channels=256, num_outs=5, dtype=jnp.bfloat16),
+        bbox_head=dict(type="BBoxHead", num_classes=80, fc_channels=1024, dtype=jnp.bfloat16),
+    )
+    fast_cfg = FastRCNNConfig(num_classes=80, approx_top_k=True)
+    vars_fa = jax.jit(fastr.init)(jax.random.PRNGKey(0), xf)
+    vars_fa_roi = fastr.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8, 7, 7, 256), jnp.bfloat16),
+        method=FastRCNN.roi_forward,
+    )
+    vars_fa = {
+        "params": {**vars_fa["params"], **vars_fa_roi["params"]},
+        "batch_stats": vars_fa.get("batch_stats", {}),
+    }
+    p0 = rng.uniform(0, [HW[1] - 32, HW[0] - 32], (fb, 1000, 2))
+    pwh = rng.uniform(16, 256, (fb, 1000, 2))
+    props_b = jnp.asarray(
+        np.concatenate(
+            [p0, np.minimum(p0 + pwh, [HW[1] - 1, HW[0] - 1])], axis=-1
+        ), jnp.float32,
+    )
+    pvalid_b = jnp.ones((fb, 1000), bool)
+
+    @jax.jit
+    def cfg6f(acc):
+        d = fast_rcnn_inference(fast_cfg, fastr, vars_fa, xfb, props_b, pvalid_b)
+        return acc + jnp.sum(d.scores)
+
+    dt = timed(cfg6f, args.iters)
+    results.append({"config": "6f: Fast R-CNN e2e inference (1000 precomputed rois)", "images_per_sec": round(fb / dt, 2)})
+
     # ---- bonus: Cascade R-CNN e2e (3-stage refinement; shares the Pallas
     # RoI kernel — roughly 3x the RoI+head cost of Faster R-CNN)
     from torch_detection_tpu.models.detectors import (
