@@ -152,6 +152,18 @@ def build_detection_cfg(det_cfg: Dict[str, Any]):
                 kwargs[key] = tuple(v) if isinstance(v, list) else v
         return YOLOV3Config(**kwargs)
 
+    if style == "centernet":
+        from .models.detectors import CenterNetConfig
+
+        kwargs = {}
+        for key in ("num_classes", "down_ratio", "min_overlap", "heat_weight",
+                    "wh_weight", "off_weight", "score_thr", "max_detections",
+                    "nms_iou_thr"):
+            if key in cfg:
+                v = cfg[key]
+                kwargs[key] = tuple(v) if isinstance(v, list) else v
+        return CenterNetConfig(**kwargs)
+
     if style == "ssd":
         from .models.detectors import SSDConfig
         from .ops.anchors import SSDAnchorGenerator
@@ -331,6 +343,26 @@ def build_loss_fn(model, det_cfg, rng_seed: int = 0):
                 "loss_wh": losses["loss_wh"],
                 "loss_conf": losses["loss_conf"],
                 "loss_cls": losses["loss_cls"],
+                "num_pos": losses["num_pos"],
+            }
+
+        return loss_fn
+
+    from .models.detectors import CenterNetConfig, centernet_loss
+
+    if isinstance(det_cfg, CenterNetConfig):
+        def loss_fn(params, batch_stats, batch):
+            heat, wh, off = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch["image"], train=True
+            )
+            losses = centernet_loss(
+                det_cfg, heat, wh, off, batch["gt_boxes"], batch["gt_labels"],
+                batch["gt_valid"],
+            )
+            return losses["loss"], {
+                "loss_heatmap": losses["loss_heatmap"],
+                "loss_wh": losses["loss_wh"],
+                "loss_offset": losses["loss_offset"],
                 "num_pos": losses["num_pos"],
             }
 

@@ -109,6 +109,9 @@ def make_serving_fn(
     is_fcos = isinstance(det_cfg, FCOSConfig)
     is_atss = isinstance(det_cfg, ATSSConfig)
     is_yolo = isinstance(det_cfg, YOLOV3Config)
+    from ..models.detectors import CenterNetConfig, decode_centernet
+
+    is_centernet = isinstance(det_cfg, CenterNetConfig)
 
     def serve(image_u8, img_shape, scale_factor):
         if s2d_wire:
@@ -146,6 +149,12 @@ def make_serving_fn(
             pred_maps = model.apply(variables, x)
             d = decode_yolo(
                 det_cfg, pred_maps, img_shapes=shapes_f, scale_factors=scale_factor
+            )
+        elif is_centernet:
+            heat, wh, off = model.apply(variables, x)
+            d = decode_centernet(
+                det_cfg, heat, wh, off,
+                img_shapes=shapes_f, scale_factors=scale_factor,
             )
         elif is_ssd:
             cls, reg = model.apply(variables, x)

@@ -92,6 +92,20 @@ def make_inference_fn(model, det_cfg) -> Callable:
 
         return infer
 
+    from ..models.detectors import CenterNetConfig, decode_centernet
+
+    if isinstance(det_cfg, CenterNetConfig):
+
+        @jax.jit
+        def infer(variables, image, img_shape, scale_factor):
+            heat, wh, off = model.apply(variables, image)
+            return decode_centernet(
+                det_cfg, heat, wh, off,
+                img_shapes=img_shape, scale_factors=scale_factor,
+            )
+
+        return infer
+
     if isinstance(det_cfg, (FCOSConfig, ATSSConfig)):
         decode3 = decode_atss if isinstance(det_cfg, ATSSConfig) else decode_fcos
 

@@ -14,6 +14,12 @@ from .fcos import FCOSConfig, decode_fcos, fcos_loss
 from .atss import ATSSConfig, atss_loss, decode_atss
 from .ssd import SSDConfig, decode_ssd, ssd_loss
 from .yolov3 import YOLOV3Config, decode_yolo, yolo_loss
+from .centernet import (
+    CenterNetConfig,
+    centernet_loss,
+    centernet_targets,
+    decode_centernet,
+)
 from .fast_rcnn import (
     FastRCNN,
     FastRCNNConfig,
@@ -65,6 +71,10 @@ __all__ = [
     "ATSSConfig",
     "atss_loss",
     "decode_atss",
+    "CenterNetConfig",
+    "centernet_loss",
+    "centernet_targets",
+    "decode_centernet",
     "YOLOV3Config",
     "decode_yolo",
     "yolo_loss",

@@ -4,10 +4,12 @@ from .fcos_head import FCOSHead
 from .atss_head import ATSSHead
 from .ssd_head import SSDHead
 from .yolo_head import YOLOV3Head
+from .centernet_head import CenterNetHead
 from .rpn_head import ProposalConfig, Proposals, RPNHead, generate_proposals
 
 __all__ = [
     "YOLOV3Head",
+    "CenterNetHead",
     "RetinaHead",
     "ATSSHead",
     "flatten_head_outputs",

@@ -1,4 +1,5 @@
 from .fpn import FPN, PAFPN
 from .yolo_neck import YOLOV3Neck
+from .ct_neck import CTResNetNeck
 
-__all__ = ["FPN", "PAFPN", "YOLOV3Neck"]
+__all__ = ["FPN", "PAFPN", "YOLOV3Neck", "CTResNetNeck"]
