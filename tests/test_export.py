@@ -239,3 +239,41 @@ class TestServingExportYOLO:
                 rtol=1e-5, atol=1e-5,
             )
         assert np.asarray(served["valid"]).sum() > 0
+
+
+class TestServingExportCenterNet:
+    def test_centernet_roundtrip(self, tmp_path, rng):
+        from torch_detection_tpu.models.detectors import CenterNetConfig
+
+        model = SingleStageDetector(
+            backbone=dict(type="ResNet", depth=18, num_stages=4, out_indices=(3,)),
+            neck=dict(type="CTResNetNeck", in_channels=512,
+                      num_deconv_filters=(32, 16, 16)),
+            head=dict(type="CenterNetHead", num_classes=4, in_channels=16,
+                      feat_channels=16),
+        )
+        cfg = CenterNetConfig(num_classes=4, max_detections=10, score_thr=0.0)
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        exported = export_serving(
+            model, cfg, variables, batch=2, canvas=(64, 64),
+            compute_dtype=jnp.float32,
+        )
+        path = os.path.join(tmp_path, "centernet.jaxexp")
+        save_serving(exported, path)
+
+        img = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+        shp = np.asarray([[64, 64], [48, 56]], np.int32)
+        sf = np.asarray([1.0, 2.0], np.float32)
+        served = load_serving(path)(img, shp, sf)
+        direct = make_serving_fn(
+            model, cfg, variables, compute_dtype=jnp.float32
+        )(jnp.asarray(img), jnp.asarray(shp), jnp.asarray(sf))
+        assert set(served) == {"boxes", "scores", "labels", "valid"}
+        for k in served:
+            np.testing.assert_allclose(
+                np.asarray(served[k], np.float32),
+                np.asarray(direct[k], np.float32),
+                rtol=1e-5, atol=1e-5,
+            )
+        assert np.asarray(served["valid"]).sum() > 0

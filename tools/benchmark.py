@@ -429,6 +429,40 @@ def main():
     dt = timed(cfg6f, args.iters)
     results.append({"config": "6f: Fast R-CNN e2e inference (1000 precomputed rois)", "images_per_sec": round(fb / dt, 2)})
 
+    # ---- bonus: CenterNet R18 (NMS-free) at its canonical 512x512 canvas
+    from torch_detection_tpu.builder import build_detector
+    from torch_detection_tpu.models.detectors import (
+        CenterNetConfig,
+        decode_centernet,
+    )
+
+    ct_model = build_detector(dict(
+        type="SingleStageDetector",
+        backbone=dict(type="ResNet", depth=18, num_stages=4, out_indices=(3,)),
+        neck=dict(type="CTResNetNeck", in_channels=512,
+                  num_deconv_filters=(256, 128, 64)),
+        head=dict(type="CenterNetHead", num_classes=80, in_channels=64,
+                  feat_channels=64),
+    ), compute_dtype="bfloat16")
+    ct_cfg = CenterNetConfig(num_classes=80)
+    ct_hw = (512, 512)
+    ct_u8 = jnp.asarray(rng.integers(0, 255, (B, *ct_hw, 3)), jnp.uint8)
+    ct_shp = jnp.asarray([[512, 512]] * B, jnp.int32)
+    ct_vars = jax.jit(ct_model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, *ct_hw, 3), jnp.bfloat16)
+    )
+
+    @jax.jit
+    def cfg6ct(acc):
+        x = fused_normalize_pad(ct_u8, ct_shp, out_dtype=jnp.bfloat16)
+        heat, whp, offp = ct_model.apply(ct_vars, x)
+        d = decode_centernet(ct_cfg, heat, whp, offp,
+                             img_shapes=ct_shp.astype(jnp.float32))
+        return acc + jnp.sum(d.scores)
+
+    dt = timed(cfg6ct, args.iters)
+    results.append({"config": "6ct: CenterNet-R18 e2e inference 512x512 (NMS-free)", "images_per_sec": round(B / dt, 2)})
+
     # ---- bonus: Cascade R-CNN e2e (3-stage refinement; shares the Pallas
     # RoI kernel — roughly 3x the RoI+head cost of Faster R-CNN)
     from torch_detection_tpu.models.detectors import (
