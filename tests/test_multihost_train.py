@@ -478,3 +478,110 @@ def test_two_replica_centernet_step_matches_single(coco_dataset):
         ),
         s1.params, jax.device_get(s2.params),
     )
+
+
+def test_fsdp_sharding_rule_specs():
+    """The ZeRO rule shards the largest divisible dim of big leaves over
+    ``data``, leaves small leaves replicated, and composes with the TP rule."""
+    from jax.sharding import PartitionSpec as P
+
+    from torch_detection_tpu.parallel.mesh import make_mesh, param_sharding_rules
+
+    mesh = make_mesh(data=4, model=2, devices=jax.devices()[:8])
+    rule = param_sharding_rules(mesh, fsdp=True)
+
+    conv = np.zeros((3, 3, 512, 64), np.float32)     # big: shard I over data, O over model
+    assert rule(conv).spec == P(None, None, "data", "model")
+    fc = np.zeros((12544, 33), np.float32)           # O=33 not /2: only data dim 0
+    assert rule(fc).spec == P("data", None)
+    bias = np.zeros((512,), np.float32)              # small: replicated
+    assert rule(bias).spec == P()
+    odd = np.zeros((3, 3, 127, 126), np.float32)     # no dim divisible by 4; O%2==0 -> model only
+    assert rule(odd).spec == P(None, None, None, "model")
+
+    # fsdp=False must reproduce the old TP-only rule
+    rule0 = param_sharding_rules(mesh, fsdp=False)
+    assert rule0(conv).spec == P(None, None, None, "model")
+    assert rule0(fc).spec == P()
+
+
+def test_fsdp_step_matches_single(coco_dataset):
+    """ZeRO-3 sharded step (params+opt_state 1/N per device over ``data``)
+    must match the single-device step bit-for-tolerance, and the state must
+    actually live sharded between steps."""
+    model = SingleStageDetector(
+        backbone=dict(type="ResNet", depth=18, num_stages=4, out_indices=(1, 2, 3)),
+        neck=dict(type="FPN", in_channels=(128, 256, 512), out_channels=16,
+                  num_outs=5, add_extra_convs=True),
+        head=dict(type="RetinaHead", num_classes=2, in_channels=16,
+                  feat_channels=16, stacked_convs=1, num_base_anchors=9),
+    )
+    det_cfg = RetinaNetConfig(
+        num_classes=2,
+        anchor_generator=AnchorGenerator(
+            strides=(8, 16, 32, 64, 128), ratios=(0.5, 1.0, 2.0),
+            octave_base_scale=4.0, scales_per_octave=3,
+        ),
+    )
+
+    def loss_fn(params, batch_stats, batch):
+        cls, reg = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch["image"], train=True
+        )
+        losses = retina_loss(
+            det_cfg, cls, reg, batch["gt_boxes"], batch["gt_labels"],
+            batch["gt_valid"], img_shapes=batch.get("img_shape"),
+        )
+        return losses["loss"], {"loss_cls": losses["loss_cls"]}
+
+    local = []
+    for rank in (0, 1):
+        batch = next(iter(_replica_loader(coco_dataset, rank)))
+        batch.pop("img_meta", None)
+        local.append(batch)
+    global_batch = {
+        k: np.concatenate([local[0][k], local[1][k]]) for k in local[0]
+    }
+
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    tx = optax.sgd(0.01, momentum=0.9)
+
+    s1 = create_train_state(variables["params"], tx, batch_stats=variables["batch_stats"])
+    step1 = make_train_step(loss_fn, tx, donate_state=False)
+    s1, m1 = step1(s1, {k: jnp.asarray(v) for k, v in global_batch.items()})
+
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    with mesh:
+        params = shard_params(mesh, variables["params"], fsdp=True)
+        stats = shard_params(mesh, variables["batch_stats"])
+        s2 = create_train_state(params, tx, batch_stats=stats)
+        step2 = make_train_step(
+            loss_fn, tx, mesh=mesh, donate_state=False, fsdp=True
+        )(s2)
+        s2, m2 = step2(s2, shard_batch(mesh, global_batch))
+
+        # the state really is ZeRO-sharded between steps: a big conv kernel
+        # leaf holds 1/4 of its elements per device, for params AND momentum
+        big = s2.params["backbone"]["layer4_0"]["block1"]["conv"]["kernel"]
+        assert "data" in tuple(big.sharding.spec)
+        n_local = big.addressable_shards[0].data.size
+        assert n_local * 4 == big.size
+        mom = jax.tree_util.tree_leaves(
+            s2.opt_state, is_leaf=lambda x: isinstance(x, jax.Array)
+        )
+        assert any(
+            isinstance(m, jax.Array) and m.size >= 8192
+            and m.addressable_shards[0].data.size * 4 == m.size
+            for m in mom
+        )
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=2e-5)
+    # reduce-scatter + all-gather reassociates the gradient sum slightly
+    # differently from plain-DP psum: allow a touch more than the DP tests
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=8e-6
+        ),
+        s1.params, jax.device_get(s2.params),
+    )

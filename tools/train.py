@@ -106,6 +106,7 @@ def main() -> None:
         val_interval_epochs=val_interval or 1,
         ema_decay=runtime.get("ema_decay"),
         accum_steps=int(runtime.get("accum_steps", 1) or 1),
+        fsdp=bool(runtime.get("fsdp", False)),
     )
     start_epoch = 0
     if args.auto_resume and not args.resume:
@@ -132,12 +133,13 @@ def main() -> None:
         if ema is None and runtime.get("ema_decay"):
             # resuming an EMA run from a pre-EMA checkpoint: seed from params
             ema = variables["params"]
+        fsdp = trainer.fsdp
         trainer.state = TrainState(
             step=jnp.asarray(payload["meta"].get("step", 0), jnp.int32),
-            params=shard_params(mesh, variables["params"]),
-            opt_state=shard_params(mesh, opt_state),
+            params=shard_params(mesh, variables["params"], fsdp=fsdp),
+            opt_state=shard_params(mesh, opt_state, fsdp=fsdp),
             batch_stats=shard_params(mesh, variables.get("batch_stats")) if variables.get("batch_stats") else None,
-            ema_params=shard_params(mesh, ema) if ema is not None and runtime.get("ema_decay") else None,
+            ema_params=shard_params(mesh, ema, fsdp=fsdp) if ema is not None and runtime.get("ema_decay") else None,
         )
 
     trainer.run(total_epochs, start_epoch=start_epoch)

@@ -70,6 +70,7 @@ class Trainer:
         best_metric: str = "mAP",
         ema_decay: Optional[float] = None,
         accum_steps: int = 1,
+        fsdp: bool = False,
     ):
         self.loss_fn = loss_fn
         self.tx = tx
@@ -94,11 +95,13 @@ class Trainer:
         # and microbatch gradient accumulation — see make_train_step
         self.ema_decay = ema_decay
         self.accum_steps = max(1, int(accum_steps))
+        # ZeRO-3 state sharding over the data axis (parallel.mesh docstring)
+        self.fsdp = bool(fsdp) and mesh is not None
 
         params = variables["params"]
         batch_stats = variables.get("batch_stats")
         if mesh is not None:
-            params = shard_params(mesh, params)
+            params = shard_params(mesh, params, fsdp=self.fsdp)
             if batch_stats is not None:
                 batch_stats = shard_params(mesh, batch_stats)
         self.state = create_train_state(
@@ -106,7 +109,7 @@ class Trainer:
         )
         step_builder = make_train_step(
             loss_fn, tx, mesh=mesh,
-            ema_decay=ema_decay, accum_steps=self.accum_steps,
+            ema_decay=ema_decay, accum_steps=self.accum_steps, fsdp=self.fsdp,
         )
         self.train_step = step_builder(self.state) if mesh is not None else step_builder
         self.history: list = []

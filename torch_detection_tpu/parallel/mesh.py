@@ -10,6 +10,13 @@ analog is needed (SURVEY.md §2 "Distributed communication backend").
 Axes:
   * ``data``  — batch (data parallelism; gradient psum rides ICI),
   * ``model`` — channel sharding of wide conv kernels (tensor parallelism).
+
+FSDP (ZeRO-3 semantics) is expressed purely through shardings: with
+``fsdp=True`` the param-sharding rule additionally shards each large leaf
+over the ``data`` axis (params, momentum buffers, and EMA all live 1/N-sized
+per chip), and GSPMD inserts the all-gather at each use and turns the
+gradient psum into a reduce-scatter.  No wrapper classes, no manual
+collectives — the sharding annotation IS the strategy.
 """
 
 from __future__ import annotations
@@ -52,36 +59,54 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 
 
-def param_sharding_rules(mesh: Mesh):
+def param_sharding_rules(mesh: Mesh, fsdp: bool = False, fsdp_min_size: int = 8192):
     """A tree_map-compatible function assigning NamedShardings to params.
 
     Tensor-parallel rule: shard the output-channel (last) dim of conv/dense
     kernels over the ``model`` axis when divisible; everything else is
     replicated.  With ``model=1`` this degenerates to pure data parallelism.
+
+    FSDP rule (``fsdp=True``): additionally shard the largest still-unsharded
+    dim of every leaf with >= ``fsdp_min_size`` elements over the ``data``
+    axis — ZeRO-3 expressed as a sharding annotation.  Applied identically to
+    params, optimizer state, and EMA (their leaves share shapes), it cuts the
+    per-chip state memory ~Nx; GSPMD all-gathers each param at its use site
+    and reduce-scatters its gradient.  Small leaves (biases, norm scales)
+    stay replicated: the collective latency would dominate their bytes.
     """
     model_size = mesh.shape["model"]
+    data_size = mesh.shape["data"]
 
     def rule(x) -> NamedSharding:
         shape = np.shape(x)
+        spec = [None] * len(shape)
         if (
             model_size > 1
             and len(shape) >= 2
             and shape[-1] % model_size == 0
             and shape[-1] >= 2 * model_size
         ):
-            spec = [None] * (len(shape) - 1) + ["model"]
-            return NamedSharding(mesh, P(*spec))
-        return NamedSharding(mesh, P())
+            spec[-1] = "model"
+        if fsdp and data_size > 1 and int(np.prod(shape, dtype=np.int64)) >= fsdp_min_size:
+            cands = [
+                d for d in range(len(shape))
+                if spec[d] is None and shape[d] % data_size == 0 and shape[d] > 0
+            ]
+            if cands:
+                spec[max(cands, key=lambda d: shape[d])] = "data"
+        if not any(spec):
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P(*spec))
 
     return rule
 
 
-def shard_params(mesh: Mesh, params):
-    rule = param_sharding_rules(mesh)
+def shard_params(mesh: Mesh, params, fsdp: bool = False):
+    rule = param_sharding_rules(mesh, fsdp=fsdp)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rule(x)), params)
 
 
-def param_shardings(mesh: Mesh, params):
+def param_shardings(mesh: Mesh, params, fsdp: bool = False):
     """The sharding pytree matching ``params`` (for jit in/out_shardings)."""
-    rule = param_sharding_rules(mesh)
+    rule = param_sharding_rules(mesh, fsdp=fsdp)
     return jax.tree_util.tree_map(rule, params)

@@ -75,6 +75,7 @@ def make_train_step(
     skip_nonfinite: bool = True,
     accum_steps: int = 1,
     ema_decay: Optional[float] = None,
+    fsdp: bool = False,
 ):
     """Build a jitted train step.
 
@@ -94,6 +95,16 @@ def make_train_step(
     activation memory is one microbatch's, the update sees the full batch.
     One optimizer step per call either way (the LR schedule indexes optimizer
     steps, not microbatches).
+
+    ``fsdp=True`` (requires a mesh) applies the ZeRO-3 sharding rule to
+    params, optimizer state, and EMA: large leaves are sharded 1/N over the
+    ``data`` axis between steps, all-gathered by GSPMD at their use sites,
+    and their gradients reduce-scattered.  Numerics are identical to plain
+    DP (same reduction tree modulo GSPMD reassociation); per-chip state
+    memory drops ~Nx — the knob that fits optimizer state for big backbones
+    on small chips.  Shard the inputs with ``shard_params(mesh, params,
+    fsdp=True)`` so ``tx.init`` inherits the layout and step 0 does not
+    reshard.
 
     ``ema_decay`` (e.g. 0.999) keeps an exponential moving average of the
     params in ``state.ema_params`` with the standard warmup ramp
@@ -195,15 +206,16 @@ def make_train_step(
         return jax.jit(step_fn, donate_argnums=(0,) if donate_state else ())
 
     def sharded_compile(state_example):
-        ps = param_shardings(mesh, state_example.params)
-        os_ = param_shardings(mesh, state_example.opt_state)
+        ps = param_shardings(mesh, state_example.params, fsdp=fsdp)
+        os_ = param_shardings(mesh, state_example.opt_state, fsdp=fsdp)
         bs = (
+            # batch_stats are per-channel vectors — always replicated
             param_shardings(mesh, state_example.batch_stats)
             if state_example.batch_stats is not None
             else None
         )
         es = (
-            param_shardings(mesh, state_example.ema_params)
+            param_shardings(mesh, state_example.ema_params, fsdp=fsdp)
             if state_example.ema_params is not None
             else None
         )
