@@ -585,3 +585,71 @@ def test_fsdp_step_matches_single(coco_dataset):
         ),
         s1.params, jax.device_get(s2.params),
     )
+
+
+def test_spatial_partition_matches_single(coco_dataset):
+    """Sequence-parallel analog (SURVEY §5): image rows sharded over the
+    ``model`` axis.  GSPMD spatially partitions the convs (halo exchange via
+    collective-permute); the forward and a full train step must match the
+    unsharded graph."""
+    from torch_detection_tpu.parallel.mesh import replicated, spatial_sharding
+
+    model = SingleStageDetector(
+        backbone=dict(type="ResNet", depth=18, num_stages=4, out_indices=(1, 2, 3)),
+        neck=dict(type="FPN", in_channels=(128, 256, 512), out_channels=16,
+                  num_outs=5, add_extra_convs=True),
+        head=dict(type="RetinaHead", num_classes=2, in_channels=16,
+                  feat_channels=16, stacked_convs=1, num_base_anchors=9),
+    )
+    det_cfg = RetinaNetConfig(
+        num_classes=2,
+        anchor_generator=AnchorGenerator(
+            strides=(8, 16, 32, 64, 128), ratios=(0.5, 1.0, 2.0),
+            octave_base_scale=4.0, scales_per_octave=3,
+        ),
+    )
+
+    def loss_fn(params, batch_stats, batch):
+        cls, reg = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch["image"], train=True
+        )
+        losses = retina_loss(
+            det_cfg, cls, reg, batch["gt_boxes"], batch["gt_labels"],
+            batch["gt_valid"],
+        )
+        return losses["loss"], {"loss_cls": losses["loss_cls"]}
+
+    batch = next(iter(_replica_loader(coco_dataset, 0)))
+    batch.pop("img_meta", None)
+
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3), jnp.float32)
+    )
+    outs1 = jax.jit(model.apply)(variables, jnp.asarray(batch["image"]))
+
+    tx = optax.sgd(0.01, momentum=0.9)
+    s1 = create_train_state(variables["params"], tx, batch_stats=variables["batch_stats"])
+    step1 = make_train_step(loss_fn, tx, donate_state=False)
+    _, m1 = step1(s1, {k: jnp.asarray(v) for k, v in batch.items()})
+
+    mesh = make_mesh(data=2, model=4, devices=jax.devices()[:8])
+    with mesh:
+        vrep = jax.device_put(variables, replicated(mesh))
+        xs = jax.device_put(np.asarray(batch["image"]), spatial_sharding(mesh))
+        # rows really are banded over the model axis before the forward
+        assert xs.addressable_shards[0].data.shape[1] * 4 == xs.shape[1]
+        outs2 = jax.jit(model.apply)(vrep, xs)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+            ),
+            outs1, jax.device_get(outs2),
+        )
+
+        # full train step on a spatially-sharded batch (conv bwd under halo)
+        s2 = create_train_state(
+            vrep["params"], tx, batch_stats=vrep["batch_stats"]
+        )
+        step2 = make_train_step(loss_fn, tx, donate_state=False)
+        _, m2 = step2(s2, shard_batch(mesh, batch, spatial=True))
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=2e-4)

@@ -53,10 +53,36 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """device_put a pytree of host arrays with batch-dim sharding."""
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC sharding with batch over ``data`` AND image rows over ``model``.
+
+    The CNN analog of sequence/context parallelism (SURVEY.md §5: the
+    reference's "long context" is the spatial extent).  With input rows
+    sharded, GSPMD spatially partitions every conv — each device computes
+    its row band and exchanges kernel-halo rows with its neighbors via
+    collective-permute riding ICI — so one image too large for a single
+    chip's HBM (gigapixel canvases, whole-slide imagery) runs across the
+    ``model`` axis without any kernel changes.
+    """
+    return NamedSharding(mesh, P("data", "model"))
+
+
+def shard_batch(mesh: Mesh, batch, spatial: bool = False):
+    """device_put a pytree of host arrays with batch-dim sharding.
+
+    ``spatial=True`` additionally shards the H dim of 4-D NHWC leaves (the
+    images) over the ``model`` axis — see :func:`spatial_sharding`.  Non-4-D
+    leaves (gt slates, shapes, masks) keep plain batch sharding.
+    """
     s = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    sp = spatial_sharding(mesh)
+
+    def put(x):
+        if spatial and getattr(x, "ndim", 0) == 4 and x.shape[1] % mesh.shape["model"] == 0:
+            return jax.device_put(x, sp)
+        return jax.device_put(x, s)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def param_sharding_rules(mesh: Mesh, fsdp: bool = False, fsdp_min_size: int = 8192):
