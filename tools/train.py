@@ -107,8 +107,11 @@ def main() -> None:
         ema_decay=runtime.get("ema_decay"),
         accum_steps=int(runtime.get("accum_steps", 1) or 1),
         fsdp=bool(runtime.get("fsdp", False)),
+        checkpoint_interval_steps=runtime.get("checkpoint_interval_steps"),
+        handle_preemption=bool(runtime.get("handle_preemption", True)),
     )
     start_epoch = 0
+    skip_batches = 0
     if args.auto_resume and not args.resume:
         from torch_detection_tpu.engine import latest_checkpoint
 
@@ -120,8 +123,15 @@ def main() -> None:
         from torch_detection_tpu.parallel import TrainState, shard_params
 
         payload = load_checkpoint_file(args.resume)
-        start_epoch = int(payload.get("meta", {}).get("epoch", 0))
-        logging.info("resuming from %s at epoch %d", args.resume, start_epoch)
+        meta = payload.get("meta", {})
+        start_epoch = int(meta.get("epoch", 0))
+        # mid-epoch (preemption) checkpoints carry the exact batch position;
+        # the loader skips those batches without decoding them
+        skip_batches = int(meta.get("batches_done", 0))
+        logging.info(
+            "resuming from %s at epoch %d batch %d",
+            args.resume, start_epoch, skip_batches,
+        )
         variables = payload["variables"]
         # Orbax's template-free restore loses optax's NamedTuple chain
         # (dicts/lists/None come back); rebuild it against a fresh tx.init
@@ -142,7 +152,10 @@ def main() -> None:
             ema_params=shard_params(mesh, ema, fsdp=fsdp) if ema is not None and runtime.get("ema_decay") else None,
         )
 
-    trainer.run(total_epochs, start_epoch=start_epoch)
+    trainer.run(
+        total_epochs, start_epoch=start_epoch,
+        skip_batches=skip_batches if args.resume else 0,
+    )
 
 
 if __name__ == "__main__":

@@ -59,9 +59,15 @@ class DataLoader:
         n = len(self.sampler)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _samples(self) -> Iterator:
+    def _samples(self, skip_indices: int = 0) -> Iterator:
+        # ``skip_indices`` drops sampler indices WITHOUT decoding them — the
+        # mid-epoch resume path (sampler order is deterministic per epoch, so
+        # skipping k*batch_size indices re-synchronizes to batch k exactly).
+        it = iter(self.sampler)
+        for _ in range(skip_indices):
+            next(it, None)
         if self.workers <= 0:
-            for idx in self.sampler:
+            for idx in it:
                 yield self.dataset[int(idx)]
             return
         # bounded sliding window of futures: at most ~2x workers samples
@@ -73,7 +79,6 @@ class DataLoader:
         window = 2 * self.workers
         with ThreadPoolExecutor(max_workers=self.workers) as ex:
             pending: deque = deque()
-            it = iter(self.sampler)
             try:
                 for idx in it:
                     pending.append(ex.submit(self.dataset.__getitem__, int(idx)))
@@ -85,9 +90,9 @@ class DataLoader:
                 for f in pending:
                     f.cancel()
 
-    def _produce(self) -> Iterator:
+    def _produce(self, skip_batches: int = 0) -> Iterator:
         buf = []
-        for sample in self._samples():
+        for sample in self._samples(skip_indices=skip_batches * self.batch_size):
             buf.append(sample)
             if len(buf) == self.batch_size:
                 yield self.collate_fn(buf)
@@ -96,8 +101,13 @@ class DataLoader:
             yield self.collate_fn(buf)
 
     def __iter__(self) -> Iterator:
+        yield from self.iter_batches(0)
+
+    def iter_batches(self, skip_batches: int = 0) -> Iterator:
+        """Iterate the epoch starting at batch ``skip_batches`` (mid-epoch
+        resume): the skipped batches' samples are never decoded."""
         if self.prefetch <= 0:
-            yield from self._produce()
+            yield from self._produce(skip_batches)
             return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
@@ -105,7 +115,7 @@ class DataLoader:
 
         def worker():
             try:
-                for item in self._produce():
+                for item in self._produce(skip_batches):
                     q.put(item)
             except BaseException as e:  # propagate into the consumer
                 error.append(e)

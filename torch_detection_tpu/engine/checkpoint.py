@@ -47,22 +47,27 @@ def save_checkpoint(
 
 
 def latest_checkpoint(work_dir: str) -> Optional[str]:
-    """Most recent ``epoch_N`` checkpoint dir in ``work_dir``, or None —
-    elastic-restart affordance: a relaunched job resumes where it died."""
+    """Most recent ``epoch_N`` / ``step_N`` checkpoint dir in ``work_dir``,
+    or None — elastic-restart affordance: a relaunched (or preempted) job
+    resumes where it died.  The two families are ordered by write time:
+    checkpoints are saved strictly sequentially, so the newest mtime is the
+    latest training state regardless of family."""
     work_dir = os.path.abspath(os.path.expanduser(work_dir))
     if not os.path.isdir(work_dir):
         return None
     best = None
-    best_epoch = -1
+    best_key = (-1.0, -1)
     for name in os.listdir(work_dir):
-        if name.startswith("epoch_"):
-            try:
-                e = int(name.split("_", 1)[1])
-            except ValueError:
-                continue
-            if e > best_epoch and os.path.isdir(os.path.join(work_dir, name)):
-                best_epoch = e
-                best = os.path.join(work_dir, name)
+        prefix, _, suffix = name.partition("_")
+        if prefix not in ("epoch", "step") or not suffix.isdigit():
+            continue
+        path = os.path.join(work_dir, name)
+        if not os.path.isdir(path):
+            continue
+        key = (os.path.getmtime(path), int(suffix))
+        if key > best_key:
+            best_key = key
+            best = path
     return best
 
 

@@ -71,6 +71,8 @@ class Trainer:
         ema_decay: Optional[float] = None,
         accum_steps: int = 1,
         fsdp: bool = False,
+        checkpoint_interval_steps: Optional[int] = None,
+        handle_preemption: bool = False,
     ):
         self.loss_fn = loss_fn
         self.tx = tx
@@ -95,6 +97,19 @@ class Trainer:
         # and microbatch gradient accumulation — see make_train_step
         self.ema_decay = ema_decay
         self.accum_steps = max(1, int(accum_steps))
+        # preemption safety (SURVEY §5 elastic recovery): optional mid-epoch
+        # ``step_<global>`` checkpoints every N optimizer steps, and a
+        # cooperative preemption flag — ``request_preemption()`` (wired to
+        # SIGTERM/SIGINT with ``handle_preemption=True``) finishes the
+        # in-flight step, checkpoints the exact batch position, and returns.
+        # Resume re-enters the SAME epoch at the SAME batch via
+        # ``run(..., skip_batches=meta['batches_done'])`` — the loader skips
+        # without decoding, so interrupted+resumed == uninterrupted exactly.
+        self.checkpoint_interval_steps = checkpoint_interval_steps
+        self._preempt_requested = False
+        self.preempted = False
+        if handle_preemption:
+            self.install_preemption_handler()
         # ZeRO-3 state sharding over the data axis (parallel.mesh docstring)
         self.fsdp = bool(fsdp) and mesh is not None
 
@@ -114,7 +129,23 @@ class Trainer:
         self.train_step = step_builder(self.state) if mesh is not None else step_builder
         self.history: list = []
 
-    def run(self, num_epochs: int, start_epoch: int = 0) -> TrainState:
+    def request_preemption(self) -> None:
+        """Cooperatively stop after the in-flight step, checkpointing the
+        exact (epoch, batch) position for a deterministic resume."""
+        self._preempt_requested = True
+
+    def install_preemption_handler(self, signals=None) -> None:
+        import signal as _signal
+
+        signals = signals or (_signal.SIGTERM, _signal.SIGINT)
+        for sig in signals:
+            try:
+                _signal.signal(sig, lambda *_: self.request_preemption())
+            except ValueError:  # not the main thread (e.g. under a test rig)
+                logger.warning("cannot install preemption handler off-main-thread")
+                return
+
+    def run(self, num_epochs: int, start_epoch: int = 0, skip_batches: int = 0) -> TrainState:
         global_step = int(self.state.step)
         for epoch in range(start_epoch, num_epochs):
             self.dataloader.set_epoch(epoch)
@@ -123,12 +154,29 @@ class Trainer:
             if self.profile_dir and epoch == start_epoch:
                 jax.profiler.start_trace(self.profile_dir)
             window_t0 = time.perf_counter()
-            for batch in self.dataloader:
+            skip = skip_batches if epoch == start_epoch else 0
+            batches_done = skip
+            for batch in self.dataloader.iter_batches(skip):
                 meta = batch.pop("img_meta", None)
                 dev_batch = shard_batch(self.mesh, batch) if self.mesh is not None else batch
                 self.state, metrics = self.train_step(self.state, dev_batch)
                 n_images += batch["image"].shape[0]
                 global_step += 1
+                batches_done += 1
+                if (
+                    self.checkpoint_interval_steps
+                    and global_step % self.checkpoint_interval_steps == 0
+                ) or self._preempt_requested:
+                    self._checkpoint_step(epoch, batches_done, global_step)
+                if self._preempt_requested:
+                    self.preempted = True
+                    logger.info(
+                        "preempted at epoch %d batch %d (step %d); state saved",
+                        epoch, batches_done, global_step,
+                    )
+                    if self.profile_dir and epoch == start_epoch:
+                        jax.profiler.stop_trace()
+                    return self.state
                 if global_step % self.log_interval == 0:
                     metrics = {k: float(v) for k, v in metrics.items()}
                     dt = time.perf_counter() - window_t0
@@ -188,22 +236,40 @@ class Trainer:
                 self.best_metric, self.best_score, epoch, path,
             )
 
-    def _checkpoint(self, epoch: int) -> None:
-        path = os.path.join(self.work_dir, f"epoch_{epoch + 1}")
+    def _state_variables(self) -> Dict[str, Any]:
         variables = {"params": self.state.params}
         if self.state.batch_stats is not None:
             variables["batch_stats"] = self.state.batch_stats
         if self.state.ema_params is not None:
             variables["ema_params"] = self.state.ema_params
+        return variables
+
+    def _checkpoint_step(self, epoch: int, batches_done: int, global_step: int) -> None:
+        """Mid-epoch checkpoint carrying the exact resume position."""
+        path = os.path.join(self.work_dir, f"step_{global_step}")
         save_checkpoint(
-            path, variables, opt_state=self.state.opt_state,
+            path, self._state_variables(), opt_state=self.state.opt_state,
+            meta={"epoch": epoch, "batches_done": batches_done,
+                  "step": global_step},
+        )
+        self._saved.append(path)
+        self._retain()
+        logger.info("saved mid-epoch checkpoint %s", path)
+
+    def _checkpoint(self, epoch: int) -> None:
+        path = os.path.join(self.work_dir, f"epoch_{epoch + 1}")
+        save_checkpoint(
+            path, self._state_variables(), opt_state=self.state.opt_state,
             meta={"epoch": epoch + 1, "step": int(self.state.step)},
         )
         self._saved.append(path)
+        self._retain()
+        logger.info("saved checkpoint %s", path)
+
+    def _retain(self) -> None:
         # retention: keep the newest k checkpoints (failure-recovery window)
         while len(self._saved) > self.max_keep_checkpoints:
             old = self._saved.pop(0)
             import shutil
 
             shutil.rmtree(old, ignore_errors=True)
-        logger.info("saved checkpoint %s", path)
