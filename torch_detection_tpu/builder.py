@@ -128,6 +128,24 @@ def build_detection_cfg(det_cfg: Dict[str, Any]):
                 kwargs[key] = tuple(v) if isinstance(v, list) else v
         return ATSSConfig(**kwargs)
 
+    if style == "gfl":
+        from .models.detectors import GFLConfig
+        from .ops.assign import ATSSAssigner
+
+        kwargs = {}
+        if anchor:
+            kwargs["anchor_generator"] = _build_anchor_generator(anchor)
+        if assigner:
+            kwargs["assigner"] = ATSSAssigner(**assigner)
+        for key in ("num_classes", "reg_max", "qfl_beta", "qfl_weight",
+                    "dfl_weight", "giou_weight", "score_thr", "nms_iou_thr",
+                    "pre_select_per_level", "pre_nms_top_k", "max_detections",
+                    "approx_top_k"):
+            if key in cfg:
+                v = cfg[key]
+                kwargs[key] = tuple(v) if isinstance(v, list) else v
+        return GFLConfig(**kwargs)
+
     if style == "yolo":
         from .models.detectors import YOLOV3Config
         from .ops.anchors import YOLOAnchorGenerator
@@ -363,6 +381,26 @@ def build_loss_fn(model, det_cfg, rng_seed: int = 0):
                 "loss_heatmap": losses["loss_heatmap"],
                 "loss_wh": losses["loss_wh"],
                 "loss_offset": losses["loss_offset"],
+                "num_pos": losses["num_pos"],
+            }
+
+        return loss_fn
+
+    from .models.detectors import GFLConfig, gfl_loss
+
+    if isinstance(det_cfg, GFLConfig):
+        def loss_fn(params, batch_stats, batch):
+            cls, reg = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch["image"], train=True
+            )
+            losses = gfl_loss(
+                det_cfg, cls, reg, batch["gt_boxes"], batch["gt_labels"],
+                batch["gt_valid"], img_shapes=batch.get("img_shape"),
+            )
+            return losses["loss"], {
+                "loss_qfl": losses["loss_qfl"],
+                "loss_giou": losses["loss_giou"],
+                "loss_dfl": losses["loss_dfl"],
                 "num_pos": losses["num_pos"],
             }
 

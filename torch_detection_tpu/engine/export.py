@@ -110,8 +110,10 @@ def make_serving_fn(
     is_atss = isinstance(det_cfg, ATSSConfig)
     is_yolo = isinstance(det_cfg, YOLOV3Config)
     from ..models.detectors import CenterNetConfig, decode_centernet
+    from ..models.detectors import GFLConfig, decode_gfl
 
     is_centernet = isinstance(det_cfg, CenterNetConfig)
+    is_gfl = isinstance(det_cfg, GFLConfig)
 
     def serve(image_u8, img_shape, scale_factor):
         if s2d_wire:
@@ -159,6 +161,11 @@ def make_serving_fn(
         elif is_ssd:
             cls, reg = model.apply(variables, x)
             d = decode_ssd(
+                det_cfg, cls, reg, img_shapes=shapes_f, scale_factors=scale_factor
+            )
+        elif is_gfl:
+            cls, reg = model.apply(variables, x)
+            d = decode_gfl(
                 det_cfg, cls, reg, img_shapes=shapes_f, scale_factors=scale_factor
             )
         else:

@@ -12,6 +12,7 @@ from .two_stage import (
 )
 from .fcos import FCOSConfig, decode_fcos, fcos_loss
 from .atss import ATSSConfig, atss_loss, decode_atss
+from .gfl import GFLConfig, decode_gfl, gfl_loss, integral
 from .ssd import SSDConfig, decode_ssd, ssd_loss
 from .yolov3 import YOLOV3Config, decode_yolo, yolo_loss
 from .centernet import (
@@ -71,6 +72,10 @@ __all__ = [
     "ATSSConfig",
     "atss_loss",
     "decode_atss",
+    "GFLConfig",
+    "decode_gfl",
+    "gfl_loss",
+    "integral",
     "CenterNetConfig",
     "centernet_loss",
     "centernet_targets",

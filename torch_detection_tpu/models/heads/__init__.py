@@ -2,6 +2,7 @@ from .anchor_head import RetinaHead, flatten_head_outputs
 from .bbox_head import BBoxHead
 from .fcos_head import FCOSHead
 from .atss_head import ATSSHead
+from .gfl_head import GFLHead
 from .ssd_head import SSDHead
 from .yolo_head import YOLOV3Head
 from .centernet_head import CenterNetHead
@@ -12,6 +13,7 @@ __all__ = [
     "CenterNetHead",
     "RetinaHead",
     "ATSSHead",
+    "GFLHead",
     "flatten_head_outputs",
     "BBoxHead",
     "ProposalConfig",
