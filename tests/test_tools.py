@@ -187,6 +187,42 @@ def test_test_cli(tiny_cfg_file):
     assert "mAP" in res.stdout
 
 
+def test_test_cli_dumps_coco_results(tiny_cfg_file):
+    """--out results.json writes submission-format records: real COCO image
+    ids, dataset category ids (inverse cat2label), xywh boxes (inclusive
+    convention reversed: w = x2 - x1 + 1)."""
+    import json
+
+    cfg_path, root = tiny_cfg_file
+    ckpt = osp.join(root, "work", "epoch_1")
+    if not osp.isdir(ckpt):
+        res = _run("train.py", cfg_path, "--epochs", "1")
+        assert res.returncode == 0, res.stderr[-3000:]
+    out = osp.join(root, "results.json")
+    res = _run("test.py", cfg_path, ckpt, "--max-images", "2", "--out", out)
+    assert res.returncode == 0, res.stderr[-3000:]
+    with open(out) as f:
+        records = json.load(f)
+    assert records, "no detections dumped"
+    # fixture: image ids {1,2,3}, category ids {11,13}
+    for r in records:
+        assert set(r) == {"image_id", "category_id", "bbox", "score"}
+        assert r["image_id"] in (1, 2, 3)
+        assert r["category_id"] in (11, 13)
+        assert len(r["bbox"]) == 4 and r["bbox"][2] > 0 and r["bbox"][3] > 0
+        assert 0.0 <= r["score"] <= 1.0
+
+    # pkl path: raw per-image dicts
+    out_pkl = osp.join(root, "results.pkl")
+    res = _run("test.py", cfg_path, ckpt, "--max-images", "2", "--out", out_pkl)
+    assert res.returncode == 0, res.stderr[-3000:]
+    import pickle
+
+    with open(out_pkl, "rb") as f:
+        dets = pickle.load(f)
+    assert len(dets) == 2 and set(dets[0]) == {"boxes", "scores", "labels"}
+
+
 def test_faster_rcnn_config_builds():
     from torch_detection_tpu.builder import build_detection_cfg, build_detector, build_loss_fn
     from torch_detection_tpu.models.detectors import FasterRCNNConfig, TwoStageDetector

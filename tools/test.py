@@ -25,6 +25,9 @@ def main() -> None:
                         help="images per inference batch (per canvas bucket)")
     parser.add_argument("--max-images", type=int, default=None)
     parser.add_argument("--voc-metric", action="store_true", help="VOC AP@0.5 instead of COCO mAP")
+    parser.add_argument("--out", default=None,
+                        help="dump detections: .json = COCO results format "
+                             "(submission-compatible), .pkl = raw per-image dicts")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
@@ -79,13 +82,28 @@ def main() -> None:
         variables, args.checkpoint, strict=False, key_rules=key_rules
     )
 
-    from torch_detection_tpu.engine.validate import evaluate_detector
+    from torch_detection_tpu.engine.validate import coco_detection_dump, evaluate_detector
 
     results = evaluate_detector(
         model, det_cfg, variables, dataset,
         batch=args.batch, canvas=canvas, max_images=args.max_images,
         tta=args.tta, voc_metric=args.voc_metric,
+        return_detections=bool(args.out),
     )
+    if args.out:
+        results, detections = results
+        from torch_detection_tpu.utils import dump
+
+        if args.out.endswith(".json"):
+            payload = coco_detection_dump(dataset, detections)
+        else:
+            import numpy as np
+
+            payload = [
+                {k: np.asarray(v) for k, v in d.items()} for d in detections
+            ]
+        dump(payload, args.out)
+        logging.info("dumped %d images of detections to %s", len(detections), args.out)
     for k, v in results.items():
         logging.info("%s: %.4f", k, v)
     print(results)

@@ -156,7 +156,8 @@ def evaluate_detector(
     tta: bool = False,
     voc_metric: bool = False,
     infer: Optional[Callable] = None,
-) -> Dict[str, float]:
+    return_detections: bool = False,
+):
     """Run inference over ``dataset`` (a test-mode dataset) and return the
     mAP metric dict from the protocol-exact evaluator.
 
@@ -250,7 +251,42 @@ def evaluate_detector(
         out = eval_voc_map(detections, annotations, det_cfg.num_classes, use_07_metric=True)
     else:
         out = eval_coco_map(detections, annotations, det_cfg.num_classes)
-    return {k: v for k, v in out.items() if not isinstance(v, dict)}
+    metrics = {k: v for k, v in out.items() if not isinstance(v, dict)}
+    if return_detections:
+        return metrics, detections
+    return metrics
+
+
+def coco_detection_dump(dataset, detections) -> list:
+    """Per-image detection dicts -> COCO results-format records.
+
+    ``detections`` is the list `evaluate_detector(return_detections=True)`
+    yields: per image, xyxy boxes in ORIGINAL image coordinates (inclusive
+    +1 pixel convention) with 1-based dataset-space labels.  Records use the
+    dataset's real COCO image ids and category ids (the inverse of
+    ``cat2label``), so the json is submission-compatible — the reverse of
+    ``bbox_parse`` (data/ops/bbox.py: x2 = x + w - 1).  Falls back to the
+    dataset index / raw label for datasets without COCO metadata (VOC).
+    """
+    label2cat = None
+    if hasattr(dataset, "cat2label"):
+        label2cat = {v: k for k, v in dataset.cat2label.items()}
+    records = []
+    for idx, det in enumerate(detections):
+        if hasattr(dataset, "img_infos"):
+            img_id = dataset.img_infos[idx]["id"]
+        else:
+            img_id = idx
+        for box, score, label in zip(det["boxes"], det["scores"], det["labels"]):
+            x1, y1, x2, y2 = (float(v) for v in box[:4])
+            label = int(label)
+            records.append({
+                "image_id": img_id,
+                "category_id": label2cat.get(label, label) if label2cat else label,
+                "bbox": [x1, y1, x2 - x1 + 1.0, y2 - y1 + 1.0],
+                "score": float(score),
+            })
+    return records
 
 
 def make_validation_hook(
