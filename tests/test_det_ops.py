@@ -426,3 +426,125 @@ class TestTpuGather:
         got = take_per_row(vals, idx)
         want = np.take_along_axis(np.asarray(vals), np.asarray(idx)[:, None, None], axis=1)[:, 0]
         np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def _iou_np_pair(a, b, offset=1.0):
+    x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+    x2, y2 = min(a[2], b[2]), min(a[3], b[3])
+    iw, ih = max(x2 - x1 + offset, 0.0), max(y2 - y1 + offset, 0.0)
+    inter = iw * ih
+    aa = (a[2] - a[0] + offset) * (a[3] - a[1] + offset)
+    ab = (b[2] - b[0] + offset) * (b[3] - b[1] + offset)
+    return inter / (aa + ab - inter)
+
+
+def _soft_nms_oracle(boxes, scores, method, sigma, iou_thr, max_out):
+    """Direct transcription of Bodla et al. Alg. 1: pick max, decay rest."""
+    s = scores.astype(np.float64).copy()
+    pool = list(range(len(s)))
+    picked = []
+    while pool and len(picked) < max_out:
+        j = max(pool, key=lambda t: s[t])
+        picked.append((j, s[j]))
+        pool.remove(j)
+        for t in pool:
+            iou = _iou_np_pair(boxes[j], boxes[t])
+            if method == "gaussian":
+                s[t] *= np.exp(-iou * iou / sigma)
+            elif iou > iou_thr:
+                s[t] *= 1.0 - iou
+    return picked
+
+
+class TestSoftNMS:
+    def _random_pool(self, seed, n=40):
+        rng = np.random.default_rng(seed)
+        x1 = rng.uniform(0, 80, n)
+        y1 = rng.uniform(0, 80, n)
+        boxes = np.stack(
+            [x1, y1, x1 + rng.uniform(5, 40, n), y1 + rng.uniform(5, 40, n)], -1
+        ).astype(np.float32)
+        scores = rng.uniform(0.05, 1.0, n).astype(np.float32)
+        return boxes, scores
+
+    @pytest.mark.parametrize("method", ["gaussian", "linear"])
+    def test_matches_paper_oracle(self, method):
+        from torch_detection_tpu.ops import soft_nms
+
+        for seed in (0, 1, 2):
+            boxes, scores = self._random_pool(seed)
+            res = soft_nms(
+                jnp.asarray(boxes), jnp.asarray(scores), method=method,
+                sigma=0.5, iou_thr=0.3, score_thr=1e-3, max_out=20,
+            )
+            want = _soft_nms_oracle(boxes, scores, method, 0.5, 0.3, 20)
+            v = np.asarray(res.valid)
+            got_idx = np.asarray(res.indices)[v]
+            got_s = np.asarray(res.scores)[v]
+            want_idx = np.asarray([j for j, s in want if s > 1e-3])
+            want_s = np.asarray([s for _, s in want if s > 1e-3])
+            np.testing.assert_array_equal(got_idx, want_idx)
+            np.testing.assert_allclose(got_s, want_s, rtol=1e-5)
+
+    def test_decayed_not_deleted(self):
+        """Two heavily-overlapping boxes: hard NMS keeps one, soft keeps
+        both (the second at a decayed score)."""
+        from torch_detection_tpu.ops import soft_nms
+
+        boxes = jnp.asarray(
+            [[0.0, 0.0, 20.0, 20.0], [1.0, 1.0, 21.0, 21.0]], jnp.float32
+        )
+        scores = jnp.asarray([0.9, 0.8])
+        hard = nms(boxes, scores, iou_thr=0.5, max_out=4)
+        assert int(np.asarray(hard.valid).sum()) == 1
+        soft = soft_nms(boxes, scores, method="gaussian", sigma=0.5, max_out=4)
+        v = np.asarray(soft.valid)
+        assert int(v.sum()) == 2
+        s = np.asarray(soft.scores)
+        assert s[0] == pytest.approx(0.9)
+        assert 0.0 < s[1] < 0.8  # decayed, not deleted
+
+    def test_multiclass_cross_class_no_decay(self):
+        from torch_detection_tpu.ops import multiclass_soft_nms
+
+        # identical boxes in different classes must both survive untouched
+        boxes = jnp.asarray([[0.0, 0.0, 20.0, 20.0]] * 2, jnp.float32)
+        scores = jnp.asarray([[0.9, 0.0], [0.0, 0.8]])
+        res = multiclass_soft_nms(
+            boxes, scores, method="gaussian", sigma=0.5, score_thr=0.01,
+            pre_nms_top_k=4, max_out=4,
+        )
+        v = np.asarray(res.valid)
+        assert int(v.sum()) == 2
+        np.testing.assert_allclose(sorted(np.asarray(res.scores)[v]), [0.8, 0.9])
+
+    def test_decode_detections_soft_path_jits(self):
+        import dataclasses
+
+        from torch_detection_tpu.models.detectors import (
+            RetinaNetConfig, SingleStageDetector, decode_detections,
+        )
+
+        model = SingleStageDetector(
+            backbone=dict(type="ResNet", depth=18, num_stages=4, out_indices=(1, 2, 3)),
+            neck=dict(type="FPN", in_channels=(128, 256, 512), out_channels=16,
+                      num_outs=5, add_extra_convs=True),
+            head=dict(type="RetinaHead", num_classes=2, in_channels=16,
+                      feat_channels=16, stacked_convs=1, num_base_anchors=9),
+        )
+        cfg = RetinaNetConfig(
+            num_classes=2, nms_method="soft", soft_sigma=0.5,
+            max_detections=10, pre_nms_top_k=64, score_thr=0.0,
+        )
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        vars_ = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+
+        @jax.jit
+        def infer(v, x):
+            cls, reg = model.apply(v, x)
+            return decode_detections(cfg, cls, reg)
+
+        dets = infer(vars_, x)
+        assert dets.boxes.shape == (1, 10, 4)
+        assert np.asarray(dets.valid).sum() >= 0  # runs and is finite
+        assert np.isfinite(np.asarray(dets.scores)).all()

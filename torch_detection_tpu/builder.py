@@ -213,6 +213,7 @@ def build_detection_cfg(det_cfg: Dict[str, Any]):
         "num_classes", "target_means", "target_stds", "focal_gamma", "focal_alpha",
         "smooth_l1_beta", "reg_loss_weight", "score_thr", "nms_iou_thr",
         "pre_select_per_level", "pre_nms_top_k", "max_detections",
+        "approx_top_k", "nms_method", "soft_sigma",
     ):
         if key in cfg:
             v = cfg[key]

@@ -91,6 +91,11 @@ class RetinaNetConfig:
     # recall at the scores that matter is ~1 and the mAP effect is noise.
     # Off by default so parity tests match exact-torch candidate sets.
     approx_top_k: bool = False
+    # "hard" = greedy suppression (default); "soft" = soft-NMS (gaussian
+    # decay, ops/nms.py soft_nms) — recovers occluded same-class objects at
+    # the cost of a genuinely sequential max_detections-step scan.
+    nms_method: str = "hard"
+    soft_sigma: float = 0.5
 
 
 def _per_image_targets(
@@ -235,15 +240,29 @@ def decode_detections(
             x = jnp.clip(boxes[:, 0::2], 0, w - 1.0)
             y = jnp.clip(boxes[:, 1::2], 0, h - 1.0)
             boxes = jnp.stack([x[:, 0], y[:, 0], x[:, 1], y[:, 1]], axis=-1)
-        res = multiclass_nms(
-            boxes,
-            scores[i],
-            iou_thr=cfg.nms_iou_thr,
-            score_thr=cfg.score_thr,
-            pre_nms_top_k=cfg.pre_nms_top_k,
-            max_out=cfg.max_detections,
-            approx_top_k=cfg.approx_top_k,
-        )
+        if cfg.nms_method == "soft":
+            from ...ops.nms import multiclass_soft_nms
+
+            res = multiclass_soft_nms(
+                boxes,
+                scores[i],
+                sigma=cfg.soft_sigma,
+                iou_thr=cfg.nms_iou_thr,
+                score_thr=cfg.score_thr,
+                pre_nms_top_k=cfg.pre_nms_top_k,
+                max_out=cfg.max_detections,
+                approx_top_k=cfg.approx_top_k,
+            )
+        else:
+            res = multiclass_nms(
+                boxes,
+                scores[i],
+                iou_thr=cfg.nms_iou_thr,
+                score_thr=cfg.score_thr,
+                pre_nms_top_k=cfg.pre_nms_top_k,
+                max_out=cfg.max_detections,
+                approx_top_k=cfg.approx_top_k,
+            )
         out_boxes = res.boxes
         if scale_factors is not None:
             out_boxes = out_boxes / scale_factors[i]

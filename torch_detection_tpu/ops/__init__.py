@@ -14,7 +14,7 @@ from .losses import (
     smooth_l1_loss,
     softmax_cross_entropy,
 )
-from .nms import NMSResult, multiclass_nms, nms
+from .nms import NMSResult, multiclass_nms, multiclass_soft_nms, nms, soft_nms
 from .tpu_gather import gather_rows, take_per_row
 
 __all__ = [k for k in dir() if not k.startswith("_")]
