@@ -653,3 +653,68 @@ def test_spatial_partition_matches_single(coco_dataset):
         step2 = make_train_step(loss_fn, tx, donate_state=False)
         _, m2 = step2(s2, shard_batch(mesh, batch, spatial=True))
     assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=2e-4)
+
+
+def test_two_replica_gfl_step_matches_single(coco_dataset):
+    """GFL DP-sharded train step == single-device step (QFL/DFL targets are
+    per-image; sharding the batch must only change GSPMD reassociation)."""
+    from torch_detection_tpu.models.detectors import GFLConfig, gfl_loss
+
+    model = SingleStageDetector(
+        backbone=dict(type="ResNet", depth=18, num_stages=4, out_indices=(1, 2, 3)),
+        neck=dict(type="FPN", in_channels=(128, 256, 512), out_channels=32,
+                  num_outs=5, add_extra_convs=True),
+        head=dict(type="GFLHead", num_classes=2, in_channels=32,
+                  feat_channels=32, stacked_convs=1, reg_max=8),
+    )
+    det_cfg = GFLConfig(
+        num_classes=2,
+        anchor_generator=AnchorGenerator(
+            strides=(8, 16, 32, 64, 128), ratios=(1.0,),
+            octave_base_scale=8.0, scales_per_octave=1,
+        ),
+        reg_max=8,
+    )
+
+    def loss_fn(params, batch_stats, batch):
+        cls, reg = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch["image"], train=True
+        )
+        losses = gfl_loss(
+            det_cfg, cls, reg, batch["gt_boxes"], batch["gt_labels"],
+            batch["gt_valid"], img_shapes=batch.get("img_shape"),
+        )
+        return losses["loss"], {"loss_qfl": losses["loss_qfl"]}
+
+    local = []
+    for rank in (0, 1):
+        batch = next(iter(_replica_loader(coco_dataset, rank)))
+        batch.pop("img_meta", None)
+        local.append(batch)
+    global_batch = {
+        k: np.concatenate([local[0][k], local[1][k]]) for k in local[0]
+    }
+
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    tx = optax.sgd(0.01, momentum=0.9)
+
+    s1 = create_train_state(variables["params"], tx, batch_stats=variables["batch_stats"])
+    step1 = make_train_step(loss_fn, tx, donate_state=False)
+    s1, m1 = step1(s1, {k: jnp.asarray(v) for k, v in global_batch.items()})
+
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    with mesh:
+        params = shard_params(mesh, variables["params"])
+        stats = shard_params(mesh, variables["batch_stats"])
+        s2 = create_train_state(params, tx, batch_stats=stats)
+        step2 = make_train_step(loss_fn, tx, mesh=mesh, donate_state=False)(s2)
+        s2, m2 = step2(s2, shard_batch(mesh, global_batch))
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=2e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+        ),
+        s1.params, jax.device_get(s2.params),
+    )
