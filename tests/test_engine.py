@@ -379,3 +379,50 @@ def test_latest_checkpoint(tmp_path):
         (tmp_path / f"epoch_{e}").mkdir()
     (tmp_path / "epoch_bad").mkdir()
     assert latest_checkpoint(str(tmp_path)).endswith("epoch_3")
+
+
+def test_sharded_evaluation_matches_single_device():
+    """evaluate_detector(mesh=...) shards eval batches over the data axis;
+    images are independent so metrics must match the unsharded run."""
+    import jax
+    import jax.numpy as jnp
+
+    from data_fixtures import make_coco
+    import tempfile
+
+    from torch_detection_tpu.data import get_datasets
+    from torch_detection_tpu.engine.validate import evaluate_detector
+    from torch_detection_tpu.models.detectors import (
+        RetinaNetConfig, SingleStageDetector,
+    )
+    from torch_detection_tpu.parallel import make_mesh
+
+    root = tempfile.mkdtemp()
+    ann_file, img_dir = make_coco(root)
+    dataset = get_datasets(dict(
+        type="CocoDataset", ann_file=ann_file, img_prefix=img_dir,
+        img_means=(0, 0, 0), img_stds=(1, 1, 1), img_expected_sizes=(100, 60),
+        size_divisor=32, test_mode=True,
+    ))
+    model = SingleStageDetector(
+        backbone=dict(type="ResNet", depth=18, num_stages=4, out_indices=(1, 2, 3)),
+        neck=dict(type="FPN", in_channels=(128, 256, 512), out_channels=16,
+                  num_outs=5, add_extra_convs=True),
+        head=dict(type="RetinaHead", num_classes=2, in_channels=16,
+                  feat_channels=16, stacked_convs=1, num_base_anchors=9),
+    )
+    cfg = RetinaNetConfig(num_classes=2, max_detections=10, pre_nms_top_k=64,
+                          score_thr=0.0)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3), jnp.float32)
+    )
+    single = evaluate_detector(
+        model, cfg, variables, dataset, batch=2, canvas=(128, 128),
+    )
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    sharded = evaluate_detector(
+        model, cfg, variables, dataset, batch=2, canvas=(128, 128), mesh=mesh,
+    )
+    assert set(single) == set(sharded)
+    for k in single:
+        assert single[k] == pytest.approx(sharded[k], abs=1e-6), k

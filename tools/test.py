@@ -25,6 +25,8 @@ def main() -> None:
                         help="images per inference batch (per canvas bucket)")
     parser.add_argument("--max-images", type=int, default=None)
     parser.add_argument("--voc-metric", action="store_true", help="VOC AP@0.5 instead of COCO mAP")
+    parser.add_argument("--shard-eval", action="store_true",
+                        help="shard eval batches over all devices (data-parallel inference)")
     parser.add_argument("--out", default=None,
                         help="dump detections: .json = COCO results format "
                              "(submission-compatible), .pkl = raw per-image dicts")
@@ -84,11 +86,18 @@ def main() -> None:
 
     from torch_detection_tpu.engine.validate import coco_detection_dump, evaluate_detector
 
+    mesh = None
+    if args.shard_eval and len(jax.devices()) > 1:
+        from torch_detection_tpu.parallel import make_mesh
+
+        mesh = make_mesh(model=1)
+        if args.batch % mesh.shape["data"]:
+            parser.error(f"--batch {args.batch} not divisible by {mesh.shape['data']} devices")
     results = evaluate_detector(
         model, det_cfg, variables, dataset,
         batch=args.batch, canvas=canvas, max_images=args.max_images,
         tta=args.tta, voc_metric=args.voc_metric,
-        return_detections=bool(args.out),
+        return_detections=bool(args.out), mesh=mesh,
     )
     if args.out:
         results, detections = results

@@ -157,6 +157,7 @@ def evaluate_detector(
     voc_metric: bool = False,
     infer: Optional[Callable] = None,
     return_detections: bool = False,
+    mesh=None,
 ):
     """Run inference over ``dataset`` (a test-mode dataset) and return the
     mAP metric dict from the protocol-exact evaluator.
@@ -174,6 +175,20 @@ def evaluate_detector(
 
     if infer is None:
         infer = make_inference_fn(model, det_cfg)
+
+    # sharded evaluation: each flushed bucket batch shards over the mesh's
+    # ``data`` axis (images are independent, so per-image math is identical
+    # to single-device; GSPMD just spreads them across chips), params stay
+    # replicated.  ``batch`` should be a multiple of the data-axis size.
+    put_batch = None
+    if mesh is not None:
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        _bs = NamedSharding(mesh, _P("data"))
+        _rep = NamedSharding(mesh, _P())
+        variables = _jax.device_put(variables, _rep)
+        put_batch = lambda a: _jax.device_put(a, _bs)
 
     needs_props = isinstance(det_cfg, FastRCNNConfig)
     prop_cap = int(getattr(dataset, "num_max_proposals", 1000)) if needs_props else 0
@@ -199,11 +214,12 @@ def evaluate_detector(
                 props[j, : len(p)] = p
                 pvalid[j, : len(p)] = True
             extra = (jnp.asarray(props), jnp.asarray(pvalid))
-        res = infer(
-            variables, jnp.asarray(padded), jnp.asarray(shapes),
-            jnp.ones((pad_to,), jnp.float32),  # undo scale in TTA merge
-            *extra,
-        )
+        args = (jnp.asarray(padded), jnp.asarray(shapes),
+                jnp.ones((pad_to,), jnp.float32))  # undo scale in TTA merge
+        if put_batch is not None:
+            args = tuple(put_batch(a) for a in args)
+            extra = tuple(put_batch(a) for a in extra)
+        res = infer(variables, *args, *extra)
         boxes = np.asarray(res.boxes)
         scores = np.asarray(res.scores)
         labels = np.asarray(res.labels)
