@@ -426,3 +426,22 @@ def test_sharded_evaluation_matches_single_device():
     assert set(single) == set(sharded)
     for k in single:
         assert single[k] == pytest.approx(sharded[k], abs=1e-6), k
+
+
+def test_cosine_lr_schedule():
+    import numpy as np
+
+    sched = detection_lr_schedule(
+        0.01, steps_per_epoch=100, total_epochs=10, warmup_steps=10,
+        policy="cosine", min_lr_ratio=0.05,
+    )
+    # warmup: ratio at step 0, base at warmup end
+    assert float(sched(0)) == pytest.approx(0.01 / 3)
+    assert float(sched(10)) == pytest.approx(0.01, rel=1e-3)
+    # halfway: mean of base and floor
+    floor = 0.05 * 0.01
+    assert float(sched(500)) == pytest.approx((0.01 + floor) / 2, rel=1e-5)
+    # end: the floor, and monotone nonincreasing after warmup
+    assert float(sched(1000)) == pytest.approx(floor, rel=1e-5)
+    vals = [float(sched(s)) for s in range(10, 1001, 10)]
+    assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))

@@ -521,6 +521,8 @@ def build_train_objects(cfg, data_parallel: int = 1) -> Tuple[Any, RetinaNetConf
         decay_epochs=tuple(sched_cfg.get("decay_epochs", (8, 11))),
         warmup_steps=sched_cfg.get("warmup_steps", 500),
         warmup_ratio=sched_cfg.get("warmup_ratio", 1.0 / 3),
+        policy=sched_cfg.get("policy", "step"),
+        min_lr_ratio=sched_cfg.get("min_lr_ratio", 0.0),
     )
     tx = make_optimizer(
         learning_rate=schedule,

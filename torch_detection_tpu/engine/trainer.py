@@ -34,10 +34,23 @@ def detection_lr_schedule(
     decay_factor: float = 0.1,
     warmup_steps: int = 500,
     warmup_ratio: float = 1.0 / 3.0,
+    policy: str = "step",
+    min_lr_ratio: float = 0.0,
 ) -> optax.Schedule:
-    """mmdetection-style schedule: linear warmup then step decay."""
-    boundaries = {int(e * steps_per_epoch): decay_factor for e in decay_epochs}
-    main = optax.piecewise_constant_schedule(base_lr, boundaries)
+    """mmdetection-style schedule: linear warmup, then ``policy``:
+    "step" (piecewise decay at ``decay_epochs``) or "cosine" (anneal to
+    ``min_lr_ratio * base_lr`` over the full run)."""
+    assert policy in ("step", "cosine")
+    if policy == "cosine":
+        total = max(total_epochs * steps_per_epoch, 1)
+
+        def main(step):
+            t = jnp.clip(step / total, 0.0, 1.0)
+            floor = min_lr_ratio * base_lr
+            return floor + (base_lr - floor) * 0.5 * (1.0 + jnp.cos(jnp.pi * t))
+    else:
+        boundaries = {int(e * steps_per_epoch): decay_factor for e in decay_epochs}
+        main = optax.piecewise_constant_schedule(base_lr, boundaries)
 
     def schedule(step):
         warm = base_lr * (warmup_ratio + (1 - warmup_ratio) * jnp.minimum(step, warmup_steps) / warmup_steps)
