@@ -1,0 +1,134 @@
+"""Exact Hungarian (linear sum assignment) matching on device.
+
+Set-prediction losses (DETR) need an OPTIMAL one-to-one matching between
+predictions and ground truths inside the jitted train step.  The standard
+CPU route — scipy's ``linear_sum_assignment`` via a host callback — would
+stall the TPU on a host round-trip every step (25 ms on a tunnel-attached
+host), so this module implements the same algorithm scipy uses (shortest
+augmenting path / Jonker-Volgenant, Crouse 2016, "On implementing 2D
+rectangular assignment algorithms") natively in JAX:
+
+  * fixed shapes: the (G, Q) cost matrix pads gts to the slate size; each of
+    the G outer augmentations runs a bounded Dijkstra whose per-step
+    relaxation is ONE masked (Q,) vector op on the VPU — no data-dependent
+    shapes anywhere;
+  * all control flow is ``lax.while_loop`` / ``fori_loop`` with explicitly
+    bounded trip counts (outer = G rows, Dijkstra <= Q columns, augment <= G
+    swaps), so the whole matcher jits, vmaps over the batch, and
+    differentiates structurally (the assignment itself is integer output);
+  * invalid gt rows carry a large constant cost so they absorb leftover
+    queries without disturbing the real rows' optimum (masked downstream).
+
+Exactness is asserted against ``scipy.optimize.linear_sum_assignment`` in
+``tests/test_hungarian.py`` (identical total cost; identical assignment up
+to cost ties).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.float32(jnp.inf)
+
+
+def linear_sum_assignment(cost: jnp.ndarray, row_valid: jnp.ndarray = None) -> jnp.ndarray:
+    """Optimal assignment of rows to columns of ``cost`` (G, Q), G <= Q.
+
+    Returns ``col4row`` (G,) int32 — the column matched to each row.  Every
+    row is matched (rectangular assignment); rows where ``row_valid`` is
+    False have their costs replaced by a constant so they take leftover
+    columns without affecting valid rows' optimality.
+    """
+    g, q = cost.shape
+    assert g <= q, f"need rows <= cols, got {cost.shape}"
+    c = cost.astype(jnp.float32)
+    if row_valid is not None:
+        # constant rows are interchangeable: they never compete with real
+        # rows for a *specific* column
+        c = jnp.where(row_valid[:, None], c, 0.0)
+    # guard against NaN/inf upsetting the potentials
+    c = jnp.nan_to_num(c, nan=1e9, posinf=1e9, neginf=-1e9)
+
+    u0 = jnp.zeros((g,), jnp.float32)
+    v0 = jnp.zeros((q,), jnp.float32)
+    col4row0 = jnp.full((g,), -1, jnp.int32)
+    row4col0 = jnp.full((q,), -1, jnp.int32)
+
+    def augment_row(cur_row, state):
+        u, v, col4row, row4col = state
+
+        # ---- Dijkstra from cur_row over columns ----
+        def dj_cond(s):
+            sink, *_ = s
+            return sink < 0
+
+        def dj_body(s):
+            sink, i, min_val, sr, sc, spc, path = s
+            sr = sr.at[i].set(True)
+            # relax all columns not yet scanned: one (Q,) vector op
+            r = min_val + c[i] - u[i] - v
+            better = (~sc) & (r < spc)
+            spc = jnp.where(better, r, spc)
+            path = jnp.where(better, i, path)
+            # pick the cheapest unscanned column
+            masked = jnp.where(sc, _INF, spc)
+            j = jnp.argmin(masked).astype(jnp.int32)
+            min_val = masked[j]
+            sc = sc.at[j].set(True)
+            owner = row4col[j]
+            sink = jnp.where(owner < 0, j, jnp.int32(-1))
+            i = jnp.where(owner < 0, i, owner)
+            return sink, i, min_val, sr, sc, spc, path
+
+        sink, _, min_val, sr, sc, spc, path = jax.lax.while_loop(
+            dj_cond,
+            dj_body,
+            (
+                jnp.int32(-1),
+                cur_row.astype(jnp.int32),
+                jnp.float32(0.0),
+                jnp.zeros((g,), bool),
+                jnp.zeros((q,), bool),
+                jnp.full((q,), _INF),
+                jnp.full((q,), -1, jnp.int32),
+            ),
+        )
+
+        # ---- dual update (vectorized over rows/cols) ----
+        u = u.at[cur_row].add(min_val)
+        safe_cols = jnp.clip(col4row, 0, q - 1)
+        row_delta = min_val - spc[safe_cols]
+        row_mask = sr & (jnp.arange(g) != cur_row)
+        u = u + jnp.where(row_mask, row_delta, 0.0)
+        v = v - jnp.where(sc, min_val - spc, 0.0)
+
+        # ---- augment along the alternating path (<= G swaps) ----
+        def aug_cond(s):
+            done, *_ = s
+            return ~done
+
+        def aug_body(s):
+            done, sink_j, col4row, row4col = s
+            i = path[sink_j]
+            row4col = row4col.at[sink_j].set(i)
+            nxt = col4row[i]
+            col4row = col4row.at[i].set(sink_j)
+            return (i == cur_row), nxt, col4row, row4col
+
+        _, _, col4row, row4col = jax.lax.while_loop(
+            aug_cond, aug_body, (jnp.bool_(False), sink, col4row, row4col)
+        )
+        return u, v, col4row, row4col
+
+    _, _, col4row, _ = jax.lax.fori_loop(
+        0, g, augment_row, (u0, v0, col4row0, row4col0)
+    )
+    return col4row
+
+
+def batched_linear_sum_assignment(cost: jnp.ndarray, row_valid: jnp.ndarray = None) -> jnp.ndarray:
+    """vmap of :func:`linear_sum_assignment` over a leading batch dim."""
+    if row_valid is None:
+        return jax.vmap(lambda c: linear_sum_assignment(c))(cost)
+    return jax.vmap(linear_sum_assignment)(cost, row_valid)
