@@ -111,9 +111,11 @@ def make_serving_fn(
     is_yolo = isinstance(det_cfg, YOLOV3Config)
     from ..models.detectors import CenterNetConfig, decode_centernet
     from ..models.detectors import GFLConfig, decode_gfl
+    from ..models.detectors import DETRConfig, decode_detr
 
     is_centernet = isinstance(det_cfg, CenterNetConfig)
     is_gfl = isinstance(det_cfg, GFLConfig)
+    is_detr = isinstance(det_cfg, DETRConfig)
 
     def serve(image_u8, img_shape, scale_factor):
         if s2d_wire:
@@ -167,6 +169,11 @@ def make_serving_fn(
             cls, reg = model.apply(variables, x)
             d = decode_gfl(
                 det_cfg, cls, reg, img_shapes=shapes_f, scale_factors=scale_factor
+            )
+        elif is_detr:
+            cls, box = model.apply(variables, x, img_shapes=shapes_f)
+            d = decode_detr(
+                det_cfg, cls, box, img_shapes=shapes_f, scale_factors=scale_factor
             )
         else:
             cls, reg = model.apply(variables, x)

@@ -106,6 +106,20 @@ def make_inference_fn(model, det_cfg) -> Callable:
 
         return infer
 
+    from ..models.detectors import DETRConfig, decode_detr
+
+    if isinstance(det_cfg, DETRConfig):
+
+        @jax.jit
+        def infer(variables, image, img_shape, scale_factor):
+            cls, box = model.apply(variables, image, img_shapes=img_shape)
+            return decode_detr(
+                det_cfg, cls, box,
+                img_shapes=img_shape, scale_factors=scale_factor,
+            )
+
+        return infer
+
     from ..models.detectors import GFLConfig, decode_gfl
 
     if isinstance(det_cfg, GFLConfig):

@@ -13,6 +13,7 @@ from .two_stage import (
 from .fcos import FCOSConfig, decode_fcos, fcos_loss
 from .atss import ATSSConfig, atss_loss, decode_atss
 from .gfl import GFLConfig, decode_gfl, gfl_loss, integral
+from .detr import DETR, DETRConfig, decode_detr, detr_loss
 from .ssd import SSDConfig, decode_ssd, ssd_loss
 from .yolov3 import YOLOV3Config, decode_yolo, yolo_loss
 from .centernet import (
@@ -76,6 +77,10 @@ __all__ = [
     "decode_gfl",
     "gfl_loss",
     "integral",
+    "DETR",
+    "DETRConfig",
+    "decode_detr",
+    "detr_loss",
     "CenterNetConfig",
     "centernet_loss",
     "centernet_targets",

@@ -236,10 +236,13 @@ def make_optimizer(
     weight_decay: float = 1e-4,
     grad_clip_norm: Optional[float] = None,
     frozen_mask: Optional[Any] = None,
+    kind: str = "sgd",
 ) -> optax.GradientTransformation:
-    """SGD+momentum+WD (the detection default), with optional global-norm
+    """SGD+momentum+WD (the detection default) or AdamW (``kind="adamw"`` —
+    the transformer-family default, e.g. DETR), with optional global-norm
     clipping and a freeze mask (True = train, False = frozen — the TPU
     analog of the reference's ``bn_frozen`` / ``frozen_stages`` flags)."""
+    assert kind in ("sgd", "adamw")
     chain = []
     if frozen_mask is not None:
         # zero frozen grads FIRST (optax.masked alone would pass the raw
@@ -248,9 +251,17 @@ def make_optimizer(
         chain.append(optax.masked(optax.set_to_zero(), inverted))
     if grad_clip_norm is not None:
         chain.append(optax.clip_by_global_norm(grad_clip_norm))
-    decay = optax.add_decayed_weights(weight_decay)
-    if frozen_mask is not None:
-        decay = optax.masked(decay, frozen_mask)  # no decay drift on frozen params
-    chain.append(decay)
-    chain.append(optax.sgd(learning_rate, momentum=momentum))
+    if kind == "adamw":
+        chain.append(
+            optax.adamw(
+                learning_rate, weight_decay=weight_decay,
+                mask=frozen_mask if frozen_mask is not None else None,
+            )
+        )
+    else:
+        decay = optax.add_decayed_weights(weight_decay)
+        if frozen_mask is not None:
+            decay = optax.masked(decay, frozen_mask)  # no decay drift on frozen params
+        chain.append(decay)
+        chain.append(optax.sgd(learning_rate, momentum=momentum))
     return optax.chain(*chain)
