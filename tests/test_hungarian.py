@@ -46,13 +46,25 @@ class TestHungarian:
         got = np.asarray(
             linear_sum_assignment(jnp.asarray(cost), jnp.asarray(valid))
         )
-        assert len(set(got.tolist())) == 6
+        # invalid rows are skipped entirely (early-exit) and return -1
+        assert (got[~valid] == -1).all()
+        vcols = got[valid]
+        assert (vcols >= 0).all() and len(set(vcols.tolist())) == valid.sum()
         # the valid rows alone must achieve the optimum of their submatrix
         sub = cost[valid]
         rows, cols = scipy_lsa(sub)
         want_total = sub[rows, cols].sum()
         got_total = sum(cost[i, got[i]] for i in range(6) if valid[i])
         assert got_total == pytest.approx(float(want_total), abs=1e-3)
+        # prefix-valid masks (the collate contract) work identically
+        pv = np.array([True, True, True, False, False, False])
+        got2 = np.asarray(
+            linear_sum_assignment(jnp.asarray(cost), jnp.asarray(pv))
+        )
+        sub2 = cost[pv]
+        r2, c2 = scipy_lsa(sub2)
+        got2_total = sum(cost[i, got2[i]] for i in range(3))
+        assert got2_total == pytest.approx(float(sub2[r2, c2].sum()), abs=1e-3)
 
     def test_jits_and_vmaps(self):
         rng = np.random.default_rng(3)

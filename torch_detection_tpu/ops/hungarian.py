@@ -35,18 +35,23 @@ _INF = jnp.float32(jnp.inf)
 def linear_sum_assignment(cost: jnp.ndarray, row_valid: jnp.ndarray = None) -> jnp.ndarray:
     """Optimal assignment of rows to columns of ``cost`` (G, Q), G <= Q.
 
-    Returns ``col4row`` (G,) int32 — the column matched to each row.  Every
-    row is matched (rectangular assignment); rows where ``row_valid`` is
-    False have their costs replaced by a constant so they take leftover
-    columns without affecting valid rows' optimality.
+    Returns ``col4row`` (G,) int32 — the column matched to each row.  With
+    ``row_valid`` given, ONLY the valid rows are matched (invalid rows
+    return -1): they are compacted to the front and the outer loop
+    early-exits after ``sum(row_valid)`` augmentations — on padded gt slates
+    (typically ~15% full) this is the dominant cost lever, since each
+    augmentation is a full Dijkstra.
     """
     g, q = cost.shape
     assert g <= q, f"need rows <= cols, got {cost.shape}"
     c = cost.astype(jnp.float32)
+    order = None
     if row_valid is not None:
-        # constant rows are interchangeable: they never compete with real
-        # rows for a *specific* column
-        c = jnp.where(row_valid[:, None], c, 0.0)
+        order = jnp.argsort(~row_valid, stable=True)  # valid rows first
+        c = c[order]
+        n_rows = jnp.sum(row_valid.astype(jnp.int32))
+    else:
+        n_rows = jnp.int32(g)
     # guard against NaN/inf upsetting the potentials
     c = jnp.nan_to_num(c, nan=1e9, posinf=1e9, neginf=-1e9)
 
@@ -121,9 +126,21 @@ def linear_sum_assignment(cost: jnp.ndarray, row_valid: jnp.ndarray = None) -> j
         )
         return u, v, col4row, row4col
 
-    _, _, col4row, _ = jax.lax.fori_loop(
-        0, g, augment_row, (u0, v0, col4row0, row4col0)
+    def outer_cond(s):
+        r, *_ = s
+        return r < n_rows
+
+    def outer_body(s):
+        r, state = s
+        return r + 1, augment_row(r, state)
+
+    _, (_, _, col4row, _) = jax.lax.while_loop(
+        outer_cond, outer_body, (jnp.int32(0), (u0, v0, col4row0, row4col0))
     )
+    if order is not None:
+        # un-permute back to caller row order; unmatched (invalid) rows = -1
+        col4row = jnp.zeros((g,), jnp.int32).at[order].set(col4row)
+        col4row = jnp.where(row_valid, col4row, -1)
     return col4row
 
 
