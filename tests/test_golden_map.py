@@ -458,3 +458,21 @@ def test_golden_map_gfl(golden):
     # quality scores rank boxes so well the banded floor sits far below)
     assert res["mAP_50"] >= 0.8, res
     assert res["mAP"] >= 0.5, res
+
+
+@pytest.mark.slow
+def test_golden_map_detr(golden):
+    from torch_detection_tpu.models.detectors import DETR, DETRConfig
+
+    model = DETR(
+        backbone=dict(type="ResNet", depth=18, num_stages=3, out_indices=(2,)),
+        num_classes=2, d_model=64, nhead=4, num_encoder_layers=2,
+        num_decoder_layers=2, dim_feedforward=128, num_queries=16,
+    )
+    cfg = DETRConfig(num_classes=2, num_queries=16, max_detections=10,
+                     score_thr=0.05)
+    res = _train_and_eval(golden, model, cfg, steps=300, lr=1e-3)
+    # measured fixed-seed: mAP 0.517, mAP_50 0.779 @ 300 steps (DETR
+    # converges slowest of the twelve families — band sits ~50% below)
+    assert res["mAP_50"] >= 0.4, res
+    assert res["mAP"] >= 0.2, res

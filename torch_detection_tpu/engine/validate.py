@@ -271,7 +271,10 @@ def evaluate_detector(
     detections, annotations = [], []
     for i in range(n):
         per_aug = [results[(i, a)] for a in range(len(metas_all[i]))]
-        fused = merge_tta_detections(per_aug, metas_all[i], iou_thr=det_cfg.nms_iou_thr)
+        # DETR has no NMS threshold; TTA box fusion still needs one
+        fused = merge_tta_detections(
+            per_aug, metas_all[i], iou_thr=getattr(det_cfg, "nms_iou_thr", 0.5)
+        )
         detections.append(
             dict(boxes=fused["boxes"], scores=fused["scores"], labels=fused["labels"] + 1)
         )
