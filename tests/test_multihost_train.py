@@ -718,3 +718,65 @@ def test_two_replica_gfl_step_matches_single(coco_dataset):
         ),
         s1.params, jax.device_get(s2.params),
     )
+
+
+def test_two_replica_detr_step_matches_single(coco_dataset):
+    """DETR DP-sharded train step == single-device step: the Hungarian
+    matching (fixed-shape while_loops) is per-image, so GSPMD runs each
+    device's matchings locally and only the gradient psum crosses chips."""
+    from torch_detection_tpu.models.detectors import DETR, DETRConfig, detr_loss
+
+    model = DETR(
+        backbone=dict(type="ResNet", depth=18, num_stages=3, out_indices=(2,)),
+        num_classes=2, d_model=32, nhead=4, num_encoder_layers=1,
+        num_decoder_layers=1, dim_feedforward=64, num_queries=8,
+    )
+    det_cfg = DETRConfig(num_classes=2, num_queries=8)
+
+    def loss_fn(params, batch_stats, batch):
+        shapes = batch["img_shape"].astype(jnp.float32)
+        cls, box = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch["image"],
+            img_shapes=shapes, train=True,
+        )
+        losses = detr_loss(
+            det_cfg, cls, box, batch["gt_boxes"], batch["gt_labels"],
+            batch["gt_valid"], img_shapes=shapes,
+        )
+        return losses["loss"], {"loss_cls": losses["loss_cls"]}
+
+    local = []
+    for rank in (0, 1):
+        batch = next(iter(_replica_loader(coco_dataset, rank)))
+        batch.pop("img_meta", None)
+        local.append(batch)
+    global_batch = {
+        k: np.concatenate([local[0][k], local[1][k]]) for k in local[0]
+    }
+
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    tx = optax.adam(1e-3)
+
+    s1 = create_train_state(variables["params"], tx, batch_stats=variables["batch_stats"])
+    step1 = make_train_step(loss_fn, tx, donate_state=False)
+    s1, m1 = step1(s1, {k: jnp.asarray(v) for k, v in global_batch.items()})
+
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    with mesh:
+        params = shard_params(mesh, variables["params"])
+        stats = shard_params(mesh, variables["batch_stats"])
+        s2 = create_train_state(params, tx, batch_stats=stats)
+        step2 = make_train_step(loss_fn, tx, mesh=mesh, donate_state=False)(s2)
+        s2, m2 = step2(s2, shard_batch(mesh, global_batch))
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=2e-5)
+    # adam's step-1 update is ~sign(g)*lr: for near-zero grads the sign
+    # itself flips on GSPMD psum reassociation noise, so bound the ABSOLUTE
+    # deviation by a fraction of the 1e-3 step instead of a relative check
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-4
+        ),
+        s1.params, jax.device_get(s2.params),
+    )
