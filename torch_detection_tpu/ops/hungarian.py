@@ -29,7 +29,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_INF = jnp.float32(jnp.inf)
+# plain Python float, NOT jnp.float32(...): a module-level device constant
+# would initialize the jax backend at import time, which breaks the driver's
+# dryrun_multichip (it must force the virtual CPU mesh BEFORE backend init)
+_INF = float("inf")
 
 
 def linear_sum_assignment(cost: jnp.ndarray, row_valid: jnp.ndarray = None) -> jnp.ndarray:
@@ -95,7 +98,7 @@ def linear_sum_assignment(cost: jnp.ndarray, row_valid: jnp.ndarray = None) -> j
                 jnp.float32(0.0),
                 jnp.zeros((g,), bool),
                 jnp.zeros((q,), bool),
-                jnp.full((q,), _INF),
+                jnp.full((q,), _INF, jnp.float32),
                 jnp.full((q,), -1, jnp.int32),
             ),
         )
