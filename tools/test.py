@@ -25,6 +25,9 @@ def main() -> None:
                         help="images per inference batch (per canvas bucket)")
     parser.add_argument("--max-images", type=int, default=None)
     parser.add_argument("--voc-metric", action="store_true", help="VOC AP@0.5 instead of COCO mAP")
+    parser.add_argument("--segm", action="store_true",
+                        help="mask-IoU COCO metrics too (Mask R-CNN configs; "
+                             "pastes masks in the original frame, reports segm_*)")
     parser.add_argument("--shard-eval", action="store_true",
                         help="shard eval batches over all devices (data-parallel inference)")
     parser.add_argument("--out", default=None,
@@ -84,7 +87,11 @@ def main() -> None:
         variables, args.checkpoint, strict=False, key_rules=key_rules
     )
 
-    from torch_detection_tpu.engine.validate import coco_detection_dump, evaluate_detector
+    from torch_detection_tpu.engine.validate import (
+        coco_detection_dump,
+        coco_segm_dump,
+        evaluate_detector,
+    )
 
     mesh = None
     if args.shard_eval and len(jax.devices()) > 1:
@@ -97,7 +104,7 @@ def main() -> None:
         model, det_cfg, variables, dataset,
         batch=args.batch, canvas=canvas, max_images=args.max_images,
         tta=args.tta, voc_metric=args.voc_metric,
-        return_detections=bool(args.out), mesh=mesh,
+        return_detections=bool(args.out), mesh=mesh, segm=args.segm,
     )
     if args.out:
         results, detections = results
@@ -105,6 +112,10 @@ def main() -> None:
 
         if args.out.endswith(".json"):
             payload = coco_detection_dump(dataset, detections)
+            if args.segm:
+                segm_out = args.out[: -len(".json")] + ".segm.json"
+                dump(coco_segm_dump(dataset, detections), segm_out)
+                logging.info("dumped segm RLE results to %s", segm_out)
         else:
             import numpy as np
 

@@ -94,6 +94,7 @@ def main() -> None:
             batch=int(runtime.get("val_batch", 8)), canvas=canvas,
             max_images=runtime.get("val_max_images"),
             voc_metric=bool(runtime.get("val_voc_metric", False)),
+            segm=bool(runtime.get("val_segm", False)),
         )
 
     trainer = Trainer(

@@ -25,6 +25,8 @@ def main() -> None:
     parser.add_argument("images", nargs="+")
     parser.add_argument("--out-dir", default="vis")
     parser.add_argument("--score-thr", type=float, default=0.3)
+    parser.add_argument("--segm", action="store_true",
+                        help="overlay instance masks too (Mask R-CNN configs)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -67,7 +69,7 @@ def main() -> None:
     # as the evaluator and the in-training validation hook)
     from torch_detection_tpu.engine.validate import make_inference_fn
 
-    infer = make_inference_fn(model, det_cfg)
+    infer = make_inference_fn(model, det_cfg, segm=args.segm)
 
     for path in args.images:
         raw = img_read(path)
@@ -84,14 +86,26 @@ def main() -> None:
         boxes = np.asarray(dets.boxes[0])[v]
         scores = np.asarray(dets.scores[0])[v]
         labels = np.asarray(dets.labels[0])[v]
+        base = raw.copy()
+        out_file = os.path.join(args.out_dir, os.path.basename(path))
+        if args.segm and hasattr(dets, "mask_probs"):
+            # detections are already in original-frame coords (scale_factors
+            # was passed to the inference program), so paste directly
+            from torch_detection_tpu.data.ops.mask import mask_visualize
+            from torch_detection_tpu.models.heads import paste_masks_np
+
+            probs = np.asarray(dets.mask_probs[0])[v]
+            keep = scores > args.score_thr
+            masks = paste_masks_np(probs[keep], boxes[keep], raw.shape[:2])
+            base = mask_visualize(base, masks, None, show=False)
         drawn, _ = bbox_visualize(
-            raw.copy(),
+            base,
             np.concatenate([boxes, scores[:, None]], axis=1),
             labels,
             class_names=classes,
             score_thr=args.score_thr,
             show=False,
-            out_file=os.path.join(args.out_dir, os.path.basename(path)),
+            out_file=out_file,
         )
         logging.info("%s: %d detections above %.2f", path, int((scores > args.score_thr).sum()), args.score_thr)
 

@@ -17,7 +17,7 @@ from ..utils.registry import DATASETS
 from .base import BaseDataset
 from .coco_api import COCO
 from .ops.bbox import bbox_parse
-from .ops.mask import mask_parse
+from .ops.mask import mask_parse, segm_to_mask
 
 
 @DATASETS.register_module
@@ -54,6 +54,7 @@ class CocoDataset(BaseDataset):
         gt_labels_ignore: List = []
         gt_areas: List = []
         gt_masks: List = []
+        gt_masks_ignore: List = []
         gt_mask_polys: List = []
         gt_poly_lens: List = []
 
@@ -68,6 +69,18 @@ class CocoDataset(BaseDataset):
                     ann, gt_masks, gt_mask_polys, gt_poly_lens,
                     img_info["height"], img_info["width"],
                 )
+            elif self.with_mask:
+                # crowd region: segm evaluator ignores detections covering it
+                # (intersection / det-area IoU), mirroring bboxes_ignore;
+                # stays zip-aligned with labels_ignore (zeros if no segm)
+                if "segmentation" in ann:
+                    gt_masks_ignore.append(segm_to_mask(
+                        ann["segmentation"], img_info["height"], img_info["width"],
+                    ))
+                else:
+                    gt_masks_ignore.append(
+                        np.zeros((img_info["height"], img_info["width"]), np.uint8)
+                    )
 
         out = dict(
             bboxes=np.asarray(gt_bboxes, np.float32).reshape(-1, 4),
@@ -78,6 +91,7 @@ class CocoDataset(BaseDataset):
         )
         if self.with_mask:
             out["masks"] = gt_masks
+            out["masks_ignore"] = gt_masks_ignore
             out["mask_polys"] = gt_mask_polys
             out["poly_lens"] = gt_poly_lens
         return out

@@ -6,7 +6,13 @@ from .eval import detections_from_nms, eval_coco_map, eval_voc_map
 from .profiling import ThroughputMeter, annotate, trace
 from .trainer import Trainer, detection_lr_schedule
 from .tta import debox_to_original, merge_tta_detections
-from .validate import evaluate_detector, make_inference_fn, make_validation_hook
+from .validate import (
+    coco_detection_dump,
+    coco_segm_dump,
+    evaluate_detector,
+    make_inference_fn,
+    make_validation_hook,
+)
 
 __all__ = [
     "latest_checkpoint",
@@ -16,6 +22,8 @@ __all__ = [
     "resolve_checkpoint_source",
     "MODELZOO_URLS",
     "save_checkpoint",
+    "coco_detection_dump",
+    "coco_segm_dump",
     "evaluate_detector",
     "make_inference_fn",
     "make_validation_hook",

@@ -408,7 +408,10 @@ def eval_coco_segm_map(
             masks = np.asarray(det["masks"])[keep]
             order = np.argsort(-scores, kind="mergesort")[:top_k]
             scores, masks = scores[order], masks[order]
-            dt_flat = np.asarray(masks, bool).reshape(len(masks), -1)
+            dt_flat = (
+                np.asarray(masks, bool).reshape(len(masks), -1)
+                if len(masks) else np.zeros((0, 1), bool)
+            )
             dt_areas = dt_flat.sum(axis=1).astype(np.float64)
 
             gt_keep = ann_labels == c
@@ -425,8 +428,11 @@ def eval_coco_segm_map(
             iou = mask_iou_matrix(masks, np.asarray(gt_masks)) if len(masks) and gt_masks else np.zeros((len(masks), len(gt_masks)))
             if crowds:
                 cr_flat = np.asarray(crowds, bool).reshape(len(crowds), -1)
-                inter = dt_flat.astype(np.float64) @ cr_flat.astype(np.float64).T
-                iou_crowd = inter / np.maximum(dt_areas[:, None], 1e-9)
+                if len(dt_flat):
+                    inter = dt_flat.astype(np.float64) @ cr_flat.astype(np.float64).T
+                    iou_crowd = inter / np.maximum(dt_areas[:, None], 1e-9)
+                else:
+                    iou_crowd = np.zeros((0, len(crowds)))
                 iou = np.concatenate([iou, iou_crowd], axis=1) if iou.size else iou_crowd
                 g_areas = np.concatenate([g_areas, cr_flat.sum(axis=1).astype(np.float64)])
                 gt_crowd = np.concatenate(

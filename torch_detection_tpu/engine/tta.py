@@ -78,3 +78,28 @@ def merge_tta_detections(
         scores=np.asarray(res.scores)[valid],
         labels=np.asarray(res.labels)[valid],
     )
+
+
+def masks_to_original(
+    mask_probs: np.ndarray,  # (D, M, M) probs in the augmented frame
+    boxes: np.ndarray,  # (D, 4) xyxy in the augmented frame
+    meta: Dict,
+    threshold: float = 0.5,
+):
+    """Map per-detection mask probs back to the ORIGINAL image frame.
+
+    Flipping the input image mirrors its content, so a detection's (M, M)
+    mask patch must be mirrored back before pasting at the unflipped box.
+    Returns ``(masks (D, oh, ow) bool, boxes (D, 4) original-frame)``.
+    """
+    from ..models.heads import paste_masks_np
+
+    probs = np.asarray(mask_probs, np.float32)
+    if meta.get("flipped_flag"):
+        if meta.get("flipped_direction", "horizontal") == "horizontal":
+            probs = probs[:, :, ::-1]
+        else:
+            probs = probs[:, ::-1, :]
+    boxes = debox_to_original(np.asarray(boxes), meta)
+    oh, ow = meta["ori_shape"][:2]
+    return paste_masks_np(probs, boxes, (oh, ow), threshold=threshold), boxes

@@ -24,10 +24,32 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
-def make_inference_fn(model, det_cfg) -> Callable:
+def make_inference_fn(model, det_cfg, segm: bool = False) -> Callable:
     """Jitted ``infer(variables, image, img_shape, scale_factor)`` for any
-    detector family implied by ``det_cfg``."""
+    detector family implied by ``det_cfg``.
+
+    ``segm=True`` routes mask-capable detectors through the mask branch so
+    the returned detections carry per-detection ``mask_probs``.
+    """
     import jax
+
+    if segm:
+        from ..models.detectors import MaskRCNNConfig, mask_rcnn_inference
+
+        if not isinstance(det_cfg, MaskRCNNConfig):
+            raise ValueError(
+                "segm=True needs a mask-capable detector (MaskRCNNConfig); "
+                f"got {type(det_cfg).__name__}"
+            )
+
+        @jax.jit
+        def infer(variables, image, img_shape, scale_factor):
+            return mask_rcnn_inference(
+                det_cfg, model, variables, image,
+                img_shapes=img_shape, scale_factors=scale_factor,
+            )
+
+        return infer
 
     from ..models.detectors import (
         ATSSConfig,
@@ -172,23 +194,32 @@ def evaluate_detector(
     infer: Optional[Callable] = None,
     return_detections: bool = False,
     mesh=None,
+    segm: bool = False,
 ):
     """Run inference over ``dataset`` (a test-mode dataset) and return the
     mAP metric dict from the protocol-exact evaluator.
 
     ``infer`` may be passed in to reuse a jitted program across epochs (the
     Trainer's validation hook does; re-jitting per epoch would recompile).
+
+    ``segm=True`` (Mask R-CNN style detectors) additionally pastes each
+    detection's mask onto the original image frame and reports mask-IoU
+    COCO metrics under ``segm_*`` keys; the returned detections then carry
+    ``masks`` (D, oh, ow) bool.  Mask fusion across TTA augmentations is
+    undefined (NMS drops provenance), so ``segm`` requires ``tta=False``.
     """
     import jax.numpy as jnp
 
     from ..data.collate import pick_canvas
-    from .eval import eval_coco_map, eval_voc_map
-    from .tta import merge_tta_detections
+    from .eval import eval_coco_map, eval_coco_segm_map, eval_voc_map
+    from .tta import masks_to_original, merge_tta_detections
 
     from ..models.detectors import FastRCNNConfig
 
+    if segm and tta:
+        raise ValueError("segm evaluation does not support TTA fusion")
     if infer is None:
-        infer = make_inference_fn(model, det_cfg)
+        infer = make_inference_fn(model, det_cfg, segm=segm)
 
     # sharded evaluation: each flushed bucket batch shards over the mesh's
     # ``data`` axis (images are independent, so per-image math is identical
@@ -238,11 +269,13 @@ def evaluate_detector(
         scores = np.asarray(res.scores)
         labels = np.asarray(res.labels)
         valid = np.asarray(res.valid)
+        mask_probs = np.asarray(res.mask_probs) if hasattr(res, "mask_probs") else None
         for j, (img_idx, aug_idx, _, _, _) in enumerate(items):
             v = valid[j]
-            results[(img_idx, aug_idx)] = dict(
-                boxes=boxes[j][v], scores=scores[j][v], labels=labels[j][v]
-            )
+            d = dict(boxes=boxes[j][v], scores=scores[j][v], labels=labels[j][v])
+            if mask_probs is not None:
+                d["mask_probs"] = mask_probs[j][v]
+            results[(img_idx, aug_idx)] = d
 
     done = 0
     for i in range(n):
@@ -270,14 +303,29 @@ def evaluate_detector(
 
     detections, annotations = [], []
     for i in range(n):
-        per_aug = [results[(i, a)] for a in range(len(metas_all[i]))]
-        # DETR has no NMS threshold; TTA box fusion still needs one
-        fused = merge_tta_detections(
-            per_aug, metas_all[i], iou_thr=getattr(det_cfg, "nms_iou_thr", 0.5)
-        )
-        detections.append(
-            dict(boxes=fused["boxes"], scores=fused["scores"], labels=fused["labels"] + 1)
-        )
+        if segm:
+            # single-aug pass-through: detections already NMS'd in their own
+            # frame (IoU is scale/flip-invariant, so re-fusing is a no-op at
+            # best and drops mask provenance at worst) — map boxes + paste
+            # masks to the original frame directly.
+            det0 = results[(i, 0)]
+            masks, boxes_o = masks_to_original(
+                det0.get("mask_probs", np.zeros((0, 1, 1), np.float32)),
+                det0["boxes"], metas_all[i][0],
+            )
+            detections.append(dict(
+                boxes=boxes_o.astype(np.float32), scores=det0["scores"],
+                labels=det0["labels"] + 1, masks=masks,
+            ))
+        else:
+            per_aug = [results[(i, a)] for a in range(len(metas_all[i]))]
+            # DETR has no NMS threshold; TTA box fusion still needs one
+            fused = merge_tta_detections(
+                per_aug, metas_all[i], iou_thr=getattr(det_cfg, "nms_iou_thr", 0.5)
+            )
+            detections.append(
+                dict(boxes=fused["boxes"], scores=fused["scores"], labels=fused["labels"] + 1)
+            )
         annotations.append(dataset.get_ann_info(i))
 
     if voc_metric:
@@ -285,6 +333,11 @@ def evaluate_detector(
     else:
         out = eval_coco_map(detections, annotations, det_cfg.num_classes)
     metrics = {k: v for k, v in out.items() if not isinstance(v, dict)}
+    if segm:
+        segm_out = eval_coco_segm_map(detections, annotations, det_cfg.num_classes)
+        metrics.update(
+            {f"segm_{k}": v for k, v in segm_out.items() if not isinstance(v, dict)}
+        )
     if return_detections:
         return metrics, detections
     return metrics
@@ -322,6 +375,39 @@ def coco_detection_dump(dataset, detections) -> list:
     return records
 
 
+def coco_segm_dump(dataset, detections) -> list:
+    """Per-image detections with ``masks`` -> COCO segm results records.
+
+    Masks RLE-encode through the native codec (``data/ops/mask.py``), so the
+    json is pycocotools-submission-compatible ({"size", "counts"} with the
+    compressed-counts string).  Same id mapping as ``coco_detection_dump``.
+    """
+    from ..data.ops.mask import rle_encode
+
+    label2cat = None
+    if hasattr(dataset, "cat2label"):
+        label2cat = {v: k for k, v in dataset.cat2label.items()}
+    records = []
+    for idx, det in enumerate(detections):
+        if hasattr(dataset, "img_infos"):
+            img_id = dataset.img_infos[idx]["id"]
+        else:
+            img_id = idx
+        for mask, score, label in zip(det["masks"], det["scores"], det["labels"]):
+            label = int(label)
+            rle = rle_encode(np.asarray(mask, np.uint8))
+            counts = rle["counts"]
+            if isinstance(counts, bytes):
+                rle = dict(rle, counts=counts.decode("ascii"))
+            records.append({
+                "image_id": img_id,
+                "category_id": label2cat.get(label, label) if label2cat else label,
+                "segmentation": rle,
+                "score": float(score),
+            })
+    return records
+
+
 def make_validation_hook(
     model,
     det_cfg,
@@ -330,18 +416,19 @@ def make_validation_hook(
     canvas=None,
     max_images: Optional[int] = None,
     voc_metric: bool = False,
+    segm: bool = False,
 ) -> Callable:
     """``hook(variables) -> metrics`` for Trainer's in-training validation.
 
     Builds the jitted inference program ONCE and reuses it every epoch.
     """
-    infer = make_inference_fn(model, det_cfg)
+    infer = make_inference_fn(model, det_cfg, segm=segm)
 
     def hook(variables: Dict[str, Any]) -> Dict[str, float]:
         return evaluate_detector(
             model, det_cfg, variables, dataset,
             batch=batch, canvas=canvas, max_images=max_images,
-            voc_metric=voc_metric, infer=infer,
+            voc_metric=voc_metric, infer=infer, segm=segm,
         )
 
     return hook

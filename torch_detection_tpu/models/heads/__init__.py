@@ -22,6 +22,8 @@ __all__ = [
     "generate_proposals",
 ]
 
-from .mask_head import FCNMaskHead, mask_loss, mask_targets_for_rois, paste_masks  # noqa: E402
+from .mask_head import (  # noqa: E402
+    FCNMaskHead, mask_loss, mask_targets_for_rois, paste_masks, paste_masks_np,
+)
 
-__all__ += ["FCNMaskHead", "mask_loss", "mask_targets_for_rois", "paste_masks"]
+__all__ += ["FCNMaskHead", "mask_loss", "mask_targets_for_rois", "paste_masks", "paste_masks_np"]

@@ -194,3 +194,58 @@ def paste_masks(
         xs <= boxes[:, 2][:, None, None]
     )
     return (vals >= threshold) & inside
+
+
+def paste_masks_np(
+    mask_probs,  # (R, M, M) numpy sigmoid probabilities
+    boxes,  # (R, 4) xyxy in image coords
+    img_shape: Tuple[int, int],
+    threshold: float = 0.5,
+):
+    """Host-side (numpy) ``paste_masks`` for the evaluator -> (R, H, W) bool.
+
+    Same sampling semantics as the jitted ``paste_masks`` (inverse bilinear,
+    inclusive inside-box test), but computed per-roi over just the box's
+    pixel window so arbitrary ORIGINAL image shapes never retrace/recompile
+    anything — the segm evaluator calls this once per image at ``ori_shape``.
+    """
+    import numpy as np
+
+    h, w = int(img_shape[0]), int(img_shape[1])
+    probs = np.asarray(mask_probs, np.float32)
+    boxes = np.asarray(boxes, np.float32)
+    r = probs.shape[0]
+    m = probs.shape[-1] if r else 1
+    out = np.zeros((r, h, w), bool)
+    for i in range(r):
+        x1, y1, x2, y2 = boxes[i]
+        bw = max(x2 - x1, 1.0)
+        bh = max(y2 - y1, 1.0)
+        xa = max(int(np.floor(x1)), 0)
+        xb = min(int(np.ceil(x2)), w - 1)
+        ya = max(int(np.floor(y1)), 0)
+        yb = min(int(np.ceil(y2)), h - 1)
+        if xb < xa or yb < ya:
+            continue
+        ys = np.arange(ya, yb + 1, dtype=np.float32)[:, None]
+        xs = np.arange(xa, xb + 1, dtype=np.float32)[None, :]
+        my = (ys - y1) / bh * m - 0.5
+        mx = (xs - x1) / bw * m - 0.5
+        y0 = np.floor(my)
+        x0 = np.floor(mx)
+        wy = my - y0
+        wx = mx - x0
+        y0i = np.clip(y0.astype(np.int32), 0, m - 1)
+        y1i = np.clip(y0i + 1, 0, m - 1)
+        x0i = np.clip(x0.astype(np.int32), 0, m - 1)
+        x1i = np.clip(x0i + 1, 0, m - 1)
+        p = probs[i]
+        vals = (
+            p[y0i, x0i] * (1 - wy) * (1 - wx)
+            + p[y0i, x1i] * (1 - wy) * wx
+            + p[y1i, x0i] * wy * (1 - wx)
+            + p[y1i, x1i] * wy * wx
+        )
+        inside = (ys >= y1) & (ys <= y2) & (xs >= x1) & (xs <= x2)
+        out[i, ya : yb + 1, xa : xb + 1] = (vals >= threshold) & inside
+    return out
