@@ -58,6 +58,8 @@ def main() -> None:
         if isinstance(sizes, list):
             val_cfg["img_expected_sizes"] = sizes[0]
         val_cfg["flip_ratio"] = 0
+    if args.segm:
+        val_cfg["with_mask"] = True  # gt masks needed for mask-IoU metrics
     dataset = get_datasets(val_cfg)
 
     from torch_detection_tpu.builder import init_detector_variables

@@ -89,6 +89,8 @@ def main() -> None:
         if isinstance(sizes, list):  # single-scale eval during training
             val_cfg["img_expected_sizes"] = sizes[0]
         val_cfg["flip_ratio"] = 0
+        if runtime.get("val_segm"):
+            val_cfg["with_mask"] = True  # gt masks needed for mask-IoU metrics
         val_hook = make_validation_hook(
             model, det_cfg, get_datasets(val_cfg),
             batch=int(runtime.get("val_batch", 8)), canvas=canvas,
