@@ -33,7 +33,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from torch_detection_tpu.builder import build_loss_fn, build_train_objects
+    import numpy as np
+
+    from torch_detection_tpu.builder import build_loss_fn, build_lr_schedule, build_train_objects
     from torch_detection_tpu.engine import Trainer, load_checkpoint, load_checkpoint_file
     from torch_detection_tpu.parallel import make_mesh
     from torch_detection_tpu.utils import Config
@@ -58,7 +60,11 @@ def main() -> None:
         dict(mesh.shape), len(jax.devices()),
     )
 
-    model, det_cfg, loader, tx = build_train_objects(cfg, data_parallel=mesh.shape["data"])
+    # per-process loader share: the mesh's data axis spans ALL processes, but
+    # each process only feeds its own local slice (shard_batch assembles the
+    # global array from process-local shards on pods)
+    local_data = mesh.shape["data"] // dist_info["process_count"]
+    model, det_cfg, loader, tx = build_train_objects(cfg, data_parallel=local_data)
 
     canvas = tuple(cfg["data"].get("canvas") or (800, 1344))
     batch = cfg["data"].get("sample_per_replica", 2) * mesh.shape["data"]
@@ -112,6 +118,7 @@ def main() -> None:
         fsdp=bool(runtime.get("fsdp", False)),
         checkpoint_interval_steps=runtime.get("checkpoint_interval_steps"),
         handle_preemption=bool(runtime.get("handle_preemption", True)),
+        lr_schedule=build_lr_schedule(cfg, len(loader)),
     )
     start_epoch = 0
     skip_batches = 0
@@ -159,6 +166,29 @@ def main() -> None:
         total_epochs, start_epoch=start_epoch,
         skip_batches=skip_batches if args.resume else 0,
     )
+
+    # final summary from the persisted curve (work_dir/metrics.jsonl)
+    if trainer.is_main and os.path.exists(trainer.metrics_path):
+        import json
+
+        records = [json.loads(l) for l in open(trainer.metrics_path) if l.strip()]
+        steps = [r for r in records if "loss" in r]
+        vals = [r for r in records if any(k.startswith("val_") for k in r)]
+        if steps:
+            last = steps[-1]
+            logging.info(
+                "run summary: %d logged windows, final loss %.4f @ step %d, "
+                "mean %.1f img/s, %d skipped steps — curve at %s",
+                len(steps), last.get("loss", float("nan")), int(last.get("step", 0)),
+                float(np.mean([r.get("images_per_sec", 0.0) for r in steps])),
+                int(last.get("skipped_steps", 0)), trainer.metrics_path,
+            )
+        if vals:
+            best = max(vals, key=lambda r: r.get("val_mAP", float("-inf")))
+            logging.info(
+                "best val mAP %.4f at epoch %d",
+                best.get("val_mAP", float("nan")), int(best.get("epoch", -1)),
+            )
 
 
 if __name__ == "__main__":

@@ -518,6 +518,29 @@ def build_loss_fn(model, det_cfg, rng_seed: int = 0):
     return loss_fn
 
 
+def build_lr_schedule(cfg, steps_per_epoch: int):
+    """The config's LR schedule as a plain ``step -> lr`` callable.
+
+    Deterministic from (cfg, steps_per_epoch) so the Trainer can re-derive
+    the current lr for metrics without threading the closure through
+    ``build_train_objects``'s return value.
+    """
+    from .engine.trainer import detection_lr_schedule
+
+    opt_cfg = cfg.get("optimizer", {})
+    sched_cfg = cfg.get("schedule", {})
+    return detection_lr_schedule(
+        opt_cfg.get("lr", 0.01),
+        steps_per_epoch=max(int(steps_per_epoch), 1),
+        total_epochs=sched_cfg.get("total_epochs", 12),
+        decay_epochs=tuple(sched_cfg.get("decay_epochs", (8, 11))),
+        warmup_steps=sched_cfg.get("warmup_steps", 500),
+        warmup_ratio=sched_cfg.get("warmup_ratio", 1.0 / 3),
+        policy=sched_cfg.get("policy", "step"),
+        min_lr_ratio=sched_cfg.get("min_lr_ratio", 0.0),
+    )
+
+
 def build_train_objects(cfg, data_parallel: int = 1) -> Tuple[Any, RetinaNetConfig, Any, Any]:
     """(model, det_cfg, train_loader, tx) from a full config tree.
 
@@ -528,7 +551,6 @@ def build_train_objects(cfg, data_parallel: int = 1) -> Tuple[Any, RetinaNetConf
     import jax
 
     from .data import build_dataloader, get_datasets
-    from .engine.trainer import detection_lr_schedule
     from .parallel import make_optimizer
 
     runtime = cfg.get("runtime", {})
@@ -553,18 +575,7 @@ def build_train_objects(cfg, data_parallel: int = 1) -> Tuple[Any, RetinaNetConf
     )
 
     opt_cfg = cfg.get("optimizer", {})
-    sched_cfg = cfg.get("schedule", {})
-    steps_per_epoch = max(len(loader), 1)
-    schedule = detection_lr_schedule(
-        opt_cfg.get("lr", 0.01),
-        steps_per_epoch=steps_per_epoch,
-        total_epochs=sched_cfg.get("total_epochs", 12),
-        decay_epochs=tuple(sched_cfg.get("decay_epochs", (8, 11))),
-        warmup_steps=sched_cfg.get("warmup_steps", 500),
-        warmup_ratio=sched_cfg.get("warmup_ratio", 1.0 / 3),
-        policy=sched_cfg.get("policy", "step"),
-        min_lr_ratio=sched_cfg.get("min_lr_ratio", 0.0),
-    )
+    schedule = build_lr_schedule(cfg, max(len(loader), 1))
     tx = make_optimizer(
         learning_rate=schedule,
         momentum=opt_cfg.get("momentum", 0.9),

@@ -86,13 +86,26 @@ class Trainer:
         fsdp: bool = False,
         checkpoint_interval_steps: Optional[int] = None,
         handle_preemption: bool = False,
+        lr_schedule: Optional[Callable] = None,
     ):
         self.loss_fn = loss_fn
         self.tx = tx
         self.dataloader = dataloader
         self.mesh = mesh
         self.work_dir = os.path.abspath(work_dir)
-        os.makedirs(self.work_dir, exist_ok=True)
+        # on multi-process pods only process 0 touches the (shared) work_dir:
+        # checkpoints, validation, and the metrics file — replicated arrays
+        # are fully addressable from any process, so no collective is needed
+        self.is_main = jax.process_index() == 0
+        if self.is_main:
+            os.makedirs(self.work_dir, exist_ok=True)
+        # persisted training curve (SURVEY §5 "metrics/logging: near-absent"
+        # reference gap): one JSON object per logged step / validation, so
+        # runs can be compared post-hoc without grepping console logs
+        self.metrics_path = os.path.join(self.work_dir, "metrics.jsonl")
+        # optional ``step -> lr`` (builder.build_lr_schedule) for the curve
+        self.lr_schedule = lr_schedule
+        self.skipped_steps = 0
         self.log_interval = log_interval
         self.checkpoint_interval_epochs = checkpoint_interval_epochs
         self.max_keep_checkpoints = max_keep_checkpoints
@@ -169,10 +182,13 @@ class Trainer:
             window_t0 = time.perf_counter()
             skip = skip_batches if epoch == start_epoch else 0
             batches_done = skip
+            window_skipped = []  # device scalars; summed lazily at log time
             for batch in self.dataloader.iter_batches(skip):
                 meta = batch.pop("img_meta", None)
                 dev_batch = shard_batch(self.mesh, batch) if self.mesh is not None else batch
                 self.state, metrics = self.train_step(self.state, dev_batch)
+                if "skipped_nonfinite" in metrics:
+                    window_skipped.append(metrics["skipped_nonfinite"])
                 n_images += batch["image"].shape[0]
                 global_step += 1
                 batches_done += 1
@@ -192,13 +208,20 @@ class Trainer:
                     return self.state
                 if global_step % self.log_interval == 0:
                     metrics = {k: float(v) for k, v in metrics.items()}
+                    # exact skipped-step count over the window (the values
+                    # were computed steps ago; float() here costs nothing)
+                    self.skipped_steps += int(sum(float(s) for s in window_skipped))
+                    window_skipped = []
+                    metrics["skipped_steps"] = self.skipped_steps
                     dt = time.perf_counter() - window_t0
                     window_t0 = time.perf_counter()
                     ips = self.log_interval * batch["image"].shape[0] / max(dt, 1e-9)
                     metrics["images_per_sec"] = ips
                     metrics["epoch"] = epoch
                     metrics["step"] = global_step
+                    metrics["lr"] = self._current_lr()
                     self.history.append(metrics)
+                    self._write_metrics(metrics)
                     # print every loss_* component verbatim so two-stage
                     # metric names (loss_rpn_cls, loss_rcnn_reg, ...) show
                     parts = " ".join(
@@ -219,7 +242,29 @@ class Trainer:
                 self._validate(epoch)
         return self.state
 
+    def _current_lr(self) -> Optional[float]:
+        if self.lr_schedule is None:
+            return None
+        return float(self.lr_schedule(int(self.state.step)))
+
+    def _write_metrics(self, record: Dict[str, Any]) -> None:
+        """Append one JSON object per logged window / validation to
+        ``work_dir/metrics.jsonl`` (process 0 only)."""
+        if not self.is_main:
+            return
+        import json
+
+        clean = {
+            k: (float(v) if isinstance(v, (int, float, np.floating, np.integer)) else v)
+            for k, v in record.items()
+            if v is not None
+        }
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps(clean) + "\n")
+
     def _validate(self, epoch: int) -> None:
+        if not self.is_main:
+            return
         # validate the EMA weights when tracked — they are what would ship
         eval_params = (
             self.state.ema_params
@@ -234,7 +279,9 @@ class Trainer:
         dt = time.perf_counter() - t0
         parts = " ".join(f"{k} {v:.4f}" for k, v in sorted(metrics.items()))
         logger.info("epoch %d val (%.1fs): %s", epoch, dt, parts)
-        self.history.append({"epoch": epoch, **{f"val_{k}": v for k, v in metrics.items()}})
+        val_record = {"epoch": epoch, **{f"val_{k}": v for k, v in metrics.items()}}
+        self.history.append(val_record)
+        self._write_metrics(val_record)
         score = metrics.get(self.best_metric)
         if score is not None and score > self.best_score:
             self.best_score = float(score)
@@ -259,6 +306,8 @@ class Trainer:
 
     def _checkpoint_step(self, epoch: int, batches_done: int, global_step: int) -> None:
         """Mid-epoch checkpoint carrying the exact resume position."""
+        if not self.is_main:
+            return
         path = os.path.join(self.work_dir, f"step_{global_step}")
         save_checkpoint(
             path, self._state_variables(), opt_state=self.state.opt_state,
@@ -270,6 +319,8 @@ class Trainer:
         logger.info("saved mid-epoch checkpoint %s", path)
 
     def _checkpoint(self, epoch: int) -> None:
+        if not self.is_main:
+            return
         path = os.path.join(self.work_dir, f"epoch_{epoch + 1}")
         save_checkpoint(
             path, self._state_variables(), opt_state=self.state.opt_state,

@@ -2,6 +2,7 @@ from .distributed import init_distributed
 from .mesh import (
     batch_sharding,
     make_mesh,
+    mesh_spans_processes,
     param_sharding_rules,
     param_shardings,
     replicated,
@@ -14,6 +15,7 @@ __all__ = [
     "init_distributed",
     "batch_sharding",
     "make_mesh",
+    "mesh_spans_processes",
     "param_sharding_rules",
     "param_shardings",
     "replicated",

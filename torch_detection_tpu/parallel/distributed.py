@@ -37,7 +37,18 @@ def init_distributed(
     process_id = process_id if process_id is not None else _int_env("JAX_PROCESS_ID")
 
     should_init = coordinator_address is not None or os.environ.get("TPU_WORKER_HOSTNAMES")
-    if should_init and jax.process_count() == 1:
+    # NB: must not touch the backend before initialize() — jax.process_count()
+    # here would initialise XLA and make initialize() a hard error.
+    if should_init and not jax.distributed.is_initialized():
+        # CPU cross-process collectives need an explicit transport; gloo is
+        # the in-tree one.  Must be set before backend init — harmless for
+        # TPU (ICI collectives don't read it).  Guarded: older jax or an
+        # already-initialized backend just keeps its current setting.
+        try:
+            if jax.config.jax_cpu_collectives_implementation in (None, "none"):
+                jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
         try:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,

@@ -67,8 +67,22 @@ def spatial_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data", "model"))
 
 
+def mesh_spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh contains devices from more than one process."""
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
 def shard_batch(mesh: Mesh, batch, spatial: bool = False):
-    """device_put a pytree of host arrays with batch-dim sharding.
+    """Place a pytree of host arrays on the mesh with batch-dim sharding.
+
+    Single-process (all mesh devices addressable): a plain ``device_put``
+    of the full global batch.  Multi-process (the mesh spans processes, as
+    on a TPU pod): ``batch`` is this process's LOCAL shard — the slice its
+    own ``DistributedGroupSampler`` produced — and the global array is
+    assembled with ``jax.make_array_from_process_local_data`` (zero-copy of
+    the local bytes; no cross-host batch traffic ever happens, matching the
+    reference's per-rank loader slice at dataset_sampler.py:170-171).
 
     ``spatial=True`` additionally shards the H dim of 4-D NHWC leaves (the
     images) over the ``model`` axis — see :func:`spatial_sharding`.  Non-4-D
@@ -76,11 +90,15 @@ def shard_batch(mesh: Mesh, batch, spatial: bool = False):
     """
     s = batch_sharding(mesh)
     sp = spatial_sharding(mesh)
+    multiproc = mesh_spans_processes(mesh)
 
     def put(x):
+        sh = s
         if spatial and getattr(x, "ndim", 0) == 4 and x.shape[1] % mesh.shape["model"] == 0:
-            return jax.device_put(x, sp)
-        return jax.device_put(x, s)
+            sh = sp
+        if multiproc:
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(put, batch)
 
