@@ -39,6 +39,50 @@ class TestRLE:
         rle = rle_encode(mask, compress=False)
         assert rle["counts"] == [1, 1, 4]
 
+    def test_vectorized_codec_matches_scalar_oracle(self, rng):
+        """The numpy LEB128-style codec must be byte-identical to the scalar
+        reference implementation (the published COCO format)."""
+        from torch_detection_tpu.data.ops.mask import (
+            _rle_compress,
+            _rle_compress_py,
+            _rle_decompress,
+            _rle_decompress_py,
+        )
+
+        for _ in range(30):
+            h, w = rng.integers(1, 60, 2)
+            mask = (rng.random((h, w)) < rng.uniform(0.05, 0.95)).astype(np.uint8)
+            counts = rle_encode(mask, compress=False)["counts"]
+            assert _rle_compress(counts) == _rle_compress_py(counts)
+            s = _rle_compress(counts)
+            assert list(_rle_decompress(s)) == list(_rle_decompress_py(s)) == counts
+        assert _rle_compress([]) == b""
+        assert list(_rle_decompress(b"")) == []
+
+    def test_rle_area_and_interval_iou_match_dense(self, rng):
+        """Run-native area/IoU (the streaming-eval path) == dense pixel math,
+        including the crowd (intersection / dt-area) rule."""
+        from torch_detection_tpu.data.ops.mask import rle_area, rle_iou_matrix
+        from torch_detection_tpu.engine.eval import mask_iou_matrix
+
+        h, w = 40, 33
+        dense = [(rng.random((h, w)) < rng.uniform(0.1, 0.7)).astype(np.uint8)
+                 for _ in range(9)]
+        rles = [rle_encode(m) for m in dense]
+        for m, r in zip(dense, rles):
+            assert rle_area(r) == int(m.sum())
+        got = rle_iou_matrix(rles[:5], rles[5:])
+        want = mask_iou_matrix(np.asarray(dense[:5]), np.asarray(dense[5:]))
+        np.testing.assert_allclose(got, want, atol=1e-12)
+        d = np.asarray(dense[:5], bool).reshape(5, -1).astype(np.float64)
+        g = np.asarray(dense[5:], bool).reshape(4, -1).astype(np.float64)
+        want_crowd = (d @ g.T) / np.maximum(d.sum(1)[:, None], 1e-9)
+        np.testing.assert_allclose(
+            rle_iou_matrix(rles[:5], rles[5:], crowd=True), want_crowd, atol=1e-12
+        )
+        assert rle_iou_matrix([], rles).shape == (0, 9)
+        assert rle_iou_matrix(rles, []).shape == (9, 0)
+
 
 class TestPoly:
     def test_rect_poly(self):

@@ -153,11 +153,12 @@ class TestSegmEvaluation:
         assert 0.0 <= metrics["segm_mAP"] <= 1.0
         assert len(detections) == len(dataset)
         for i, det in enumerate(detections):
-            oh, ow = dataset.get_ann_info(i)["masks"][0].shape if dataset.get_ann_info(i)["masks"] else (None, None)
-            assert det["masks"].dtype == bool
-            assert det["masks"].shape[0] == len(det["boxes"])
-            if oh is not None:
-                assert det["masks"].shape[1:] == (oh, ow)
+            # masks stream as COCO RLE dicts (never dense across images)
+            assert isinstance(det["masks"], list)
+            assert len(det["masks"]) == len(det["boxes"])
+            gt_masks = dataset.get_ann_info(i)["masks"]
+            if det["masks"] and len(gt_masks):
+                assert tuple(det["masks"][0]["size"]) == gt_masks[0].shape
 
         # COCO segm results dump: RLE roundtrips through the native codec
         from torch_detection_tpu.data.ops.mask import rle_decode
@@ -168,12 +169,82 @@ class TestSegmEvaluation:
             decoded = rle_decode(rec["segmentation"])
             assert decoded.shape == tuple(rec["segmentation"]["size"])
 
-    def test_segm_rejects_tta(self, tiny_mask_rcnn):
+    def test_segm_tta_parity(self, tmp_path, tiny_mask_rcnn):
+        """Segm TTA (provenance-keeping box fusion + source-aug mask paste)
+        must at least match the single-aug score on the same data — and with
+        ONE configured aug must be numerically near-identical to the
+        single-aug path (fusion then only re-runs NMS over one candidate
+        set)."""
+        from torch_detection_tpu.data import get_datasets
         from torch_detection_tpu.engine.validate import evaluate_detector
 
         model, cfg, variables = tiny_mask_rcnn
-        with pytest.raises(ValueError):
-            evaluate_detector(model, cfg, variables, None, segm=True, tta=True)
+        ann_file, img_dir = make_coco(str(tmp_path))
+
+        def make_ds(sizes, flip):
+            return get_datasets(dict(
+                type="CocoDataset", ann_file=ann_file, img_prefix=img_dir,
+                img_means=(0, 0, 0), img_stds=(1, 1, 1),
+                img_expected_sizes=sizes, flip_ratio=flip,
+                size_divisor=32, test_mode=True, with_mask=True,
+            ))
+
+        single = evaluate_detector(
+            model, cfg, variables, make_ds((100, 60), 0.0),
+            batch=2, canvas=(128, 128), segm=True,
+        )
+        one_aug_tta = evaluate_detector(
+            model, cfg, variables, make_ds((100, 60), 0.0),
+            batch=2, canvas=(128, 128), segm=True, tta=True,
+        )
+        assert one_aug_tta["segm_mAP"] == pytest.approx(single["segm_mAP"], abs=0.05)
+
+        multi = evaluate_detector(
+            model, cfg, variables, make_ds([(100, 60), (128, 80)], 0.5),
+            batch=2, canvas=(128, 128), segm=True, tta=True,
+        )
+        assert multi["segm_mAP"] >= single["segm_mAP"] - 0.05
+
+    def test_segm_rejects_multi_aug_without_tta(self, tmp_path, tiny_mask_rcnn):
+        from torch_detection_tpu.data import get_datasets
+        from torch_detection_tpu.engine.validate import evaluate_detector
+
+        model, cfg, variables = tiny_mask_rcnn
+        ann_file, img_dir = make_coco(str(tmp_path))
+        ds = get_datasets(dict(
+            type="CocoDataset", ann_file=ann_file, img_prefix=img_dir,
+            img_means=(0, 0, 0), img_stds=(1, 1, 1),
+            img_expected_sizes=(100, 60), flip_ratio=0.5,
+            size_divisor=32, test_mode=True, with_mask=True,
+        ))
+        with pytest.raises(ValueError, match="tta"):
+            evaluate_detector(
+                model, cfg, variables, ds, batch=2, canvas=(128, 128), segm=True,
+            )
+
+    def test_segm_rejects_infer_without_mask_probs(self, tmp_path, tiny_mask_rcnn):
+        """A custom `infer` that lacks mask_probs must be a clear error, not
+        a silent zero-mask evaluation (ADVICE r3)."""
+        from torch_detection_tpu.data import get_datasets
+        from torch_detection_tpu.engine.validate import (
+            evaluate_detector,
+            make_inference_fn,
+        )
+
+        model, cfg, variables = tiny_mask_rcnn
+        ann_file, img_dir = make_coco(str(tmp_path))
+        ds = get_datasets(dict(
+            type="CocoDataset", ann_file=ann_file, img_prefix=img_dir,
+            img_means=(0, 0, 0), img_stds=(1, 1, 1),
+            img_expected_sizes=(100, 60), size_divisor=32,
+            test_mode=True, with_mask=True,
+        ))
+        box_only = make_inference_fn(model, cfg, segm=False)
+        with pytest.raises(ValueError, match="mask_probs"):
+            evaluate_detector(
+                model, cfg, variables, ds, batch=2, canvas=(128, 128),
+                segm=True, infer=box_only,
+            )
 
     def test_segm_rejects_boxonly_cfg(self):
         from torch_detection_tpu.engine.validate import make_inference_fn

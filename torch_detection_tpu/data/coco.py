@@ -78,9 +78,16 @@ class CocoDataset(BaseDataset):
                         ann["segmentation"], img_info["height"], img_info["width"],
                     ))
                 else:
-                    gt_masks_ignore.append(
-                        np.zeros((img_info["height"], img_info["width"]), np.uint8)
-                    )
+                    # no segm on the crowd ann: rasterize its bbox window so
+                    # segm eval ignores detections there exactly like box
+                    # eval does via bboxes_ignore (an all-zero mask would
+                    # instead score them as false positives)
+                    m = np.zeros((img_info["height"], img_info["width"]), np.uint8)
+                    x, y, w, h = (float(v) for v in ann["bbox"])
+                    x1, y1 = int(np.floor(x)), int(np.floor(y))
+                    x2, y2 = int(np.ceil(x + w)), int(np.ceil(y + h))
+                    m[max(y1, 0): max(y2, 0), max(x1, 0): max(x2, 0)] = 1
+                    gt_masks_ignore.append(m)
 
         out = dict(
             bboxes=np.asarray(gt_bboxes, np.float32).reshape(-1, 4),

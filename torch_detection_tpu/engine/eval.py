@@ -373,6 +373,17 @@ def mask_iou_matrix(det_masks: np.ndarray, gt_masks: np.ndarray) -> np.ndarray:
     return inter / np.maximum(area_d + area_g - inter, 1e-9)
 
 
+def _as_rles(masks) -> List[Dict]:
+    """Normalize a mask collection — (N, H, W) dense array, list of (H, W)
+    dense masks, or list of RLE dicts — to a list of RLE dicts."""
+    from ..data.ops.mask import rle_encode
+
+    out = []
+    for m in masks:
+        out.append(m if isinstance(m, dict) else rle_encode(np.asarray(m, np.uint8), compress=False))
+    return out
+
+
 def eval_coco_segm_map(
     detections: List[Dict[str, np.ndarray]],
     annotations: List[Dict[str, np.ndarray]],
@@ -383,13 +394,19 @@ def eval_coco_segm_map(
 ) -> Dict[str, float]:
     """Protocol-exact COCO segmentation evaluation (mask-IoU matching).
 
-    detections[i] additionally carries ``masks`` (D, H, W) bool;
-    annotations[i] carries ``masks`` (list of (H, W) uint8, aligned with
-    ``labels``) and optionally ``masks_ignore`` + ``labels_ignore`` for
-    crowd regions (crowd IoU = intersection / detection-mask area).  Areas
-    for the s/m/l buckets are mask pixel counts, as in COCO.  Same
-    accumulate/summarize core as ``eval_coco_map``.
+    detections[i] additionally carries ``masks`` — (D, H, W) bool dense OR a
+    list of D RLE dicts (the memory-safe form ``evaluate_detector`` streams);
+    annotations[i] carries ``masks`` (list of (H, W) uint8 or RLE dicts,
+    aligned with ``labels``) and optionally ``masks_ignore`` +
+    ``labels_ignore`` for crowd regions (crowd IoU = intersection /
+    detection-mask area).  All areas and IoUs are computed RUN-NATIVE on the
+    RLEs (``data/ops/mask.py`` interval math) — no dense decode, so a full
+    val set never materializes its masks.  Areas for the s/m/l buckets are
+    mask pixel counts, as in COCO.  Same accumulate/summarize core as
+    ``eval_coco_map``.
     """
+    from ..data.ops.mask import rle_area, rle_iou_matrix
+
     if iou_thrs is None:
         iou_thrs = np.arange(0.5, 1.0, 0.05)
     iou_thrs = np.asarray(iou_thrs, np.float64)
@@ -400,41 +417,33 @@ def eval_coco_segm_map(
     per_class_images = [[] for _ in range(num_classes)]
     for det, ann in zip(detections, annotations):
         ann_labels = np.asarray(ann["labels"])
-        crowd_masks_all = ann.get("masks_ignore", [])
+        det_labels = np.asarray(det["labels"])
+        det_rles = _as_rles(det["masks"])
+        gt_rles = _as_rles(ann["masks"])
+        crowd_rles = _as_rles(ann.get("masks_ignore", []))
         crowd_labels = ann.get("labels_ignore")
         for c in range(1, num_classes + 1):
-            keep = np.asarray(det["labels"]) == c
+            keep = np.nonzero(det_labels == c)[0]
             scores = np.asarray(det["scores"])[keep]
-            masks = np.asarray(det["masks"])[keep]
             order = np.argsort(-scores, kind="mergesort")[:top_k]
-            scores, masks = scores[order], masks[order]
-            dt_flat = (
-                np.asarray(masks, bool).reshape(len(masks), -1)
-                if len(masks) else np.zeros((0, 1), bool)
-            )
-            dt_areas = dt_flat.sum(axis=1).astype(np.float64)
+            scores = scores[order]
+            masks = [det_rles[keep[j]] for j in order]
+            dt_areas = np.array([float(rle_area(m)) for m in masks])
 
             gt_keep = ann_labels == c
-            gt_masks = [m for m, k in zip(ann["masks"], gt_keep) if k]
-            gt_flat = (
-                np.asarray(gt_masks, bool).reshape(len(gt_masks), -1)
-                if gt_masks else np.zeros((0, dt_flat.shape[1] or 1), bool)
-            )
-            if crowd_labels is not None and len(crowd_masks_all):
-                crowds = [m for m, l in zip(crowd_masks_all, crowd_labels) if l == c]
+            gt_masks = [m for m, k in zip(gt_rles, gt_keep) if k]
+            if crowd_labels is not None and len(crowd_rles):
+                crowds = [m for m, l in zip(crowd_rles, crowd_labels) if l == c]
             else:
-                crowds = list(crowd_masks_all)
-            g_areas = gt_flat.sum(axis=1).astype(np.float64)
-            iou = mask_iou_matrix(masks, np.asarray(gt_masks)) if len(masks) and gt_masks else np.zeros((len(masks), len(gt_masks)))
+                crowds = list(crowd_rles)
+            g_areas = np.array([float(rle_area(m)) for m in gt_masks])
+            iou = rle_iou_matrix(masks, gt_masks)
             if crowds:
-                cr_flat = np.asarray(crowds, bool).reshape(len(crowds), -1)
-                if len(dt_flat):
-                    inter = dt_flat.astype(np.float64) @ cr_flat.astype(np.float64).T
-                    iou_crowd = inter / np.maximum(dt_areas[:, None], 1e-9)
-                else:
-                    iou_crowd = np.zeros((0, len(crowds)))
+                iou_crowd = rle_iou_matrix(masks, crowds, crowd=True)
                 iou = np.concatenate([iou, iou_crowd], axis=1) if iou.size else iou_crowd
-                g_areas = np.concatenate([g_areas, cr_flat.sum(axis=1).astype(np.float64)])
+                g_areas = np.concatenate(
+                    [g_areas, [float(rle_area(m)) for m in crowds]]
+                )
                 gt_crowd = np.concatenate(
                     [np.zeros(len(gt_masks), bool), np.ones(len(crowds), bool)]
                 )

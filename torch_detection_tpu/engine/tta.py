@@ -10,7 +10,7 @@ with one final class-wise NMS.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Sequence
+from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -34,29 +34,43 @@ def merge_tta_detections(
     metas: Sequence[Dict],
     iou_thr: float = 0.5,
     max_out: int = 100,
+    extras: Optional[Sequence[np.ndarray]] = None,
 ) -> Dict[str, np.ndarray]:
     """Fuse detections from several augmentations of ONE image.
 
     per_aug[i]: {'boxes', 'scores', 'labels'} in the i-th augmented frame.
     Returns fused detections in original-image coordinates.
+
+    ``extras`` (optional): one per-aug array aligned row-for-row with that
+    aug's boxes (e.g. unflipped mask prob patches).  NMS fusion SELECTS
+    candidates rather than averaging them, so each kept detection has a
+    unique source row; the fused dict then carries ``extras`` gathered for
+    the kept detections — this is how segm TTA keeps mask provenance
+    through box fusion.
     """
     import jax.numpy as jnp
 
     from ..ops.nms import multiclass_nms
 
-    all_boxes, all_scores, all_labels = [], [], []
-    for det, meta in zip(per_aug, metas):
+    all_boxes, all_scores, all_labels, all_extras = [], [], [], []
+    for a, (det, meta) in enumerate(zip(per_aug, metas)):
         if len(det["boxes"]) == 0:
             continue
         all_boxes.append(debox_to_original(np.asarray(det["boxes"]), meta))
         all_scores.append(np.asarray(det["scores"]))
         all_labels.append(np.asarray(det["labels"]))
+        if extras is not None:
+            all_extras.append(np.asarray(extras[a]))
     if not all_boxes:
-        return dict(
+        out = dict(
             boxes=np.zeros((0, 4), np.float32),
             scores=np.zeros((0,), np.float32),
             labels=np.zeros((0,), np.int32),
         )
+        if extras is not None:
+            shape = np.asarray(extras[0]).shape[1:] if len(extras) else ()
+            out["extras"] = np.zeros((0,) + tuple(shape), np.float32)
+        return out
     boxes = np.concatenate(all_boxes).astype(np.float32)
     scores = np.concatenate(all_scores).astype(np.float32)
     labels = np.concatenate(all_labels).astype(np.int32)
@@ -73,11 +87,16 @@ def merge_tta_detections(
         max_out=max_out,
     )
     valid = np.asarray(res.valid)
-    return dict(
+    out = dict(
         boxes=np.asarray(res.boxes)[valid],
         scores=np.asarray(res.scores)[valid],
         labels=np.asarray(res.labels)[valid],
     )
+    if extras is not None:
+        cat = np.concatenate(all_extras)
+        src = np.asarray(res.indices)[valid]
+        out["extras"] = cat[src]
+    return out
 
 
 def masks_to_original(

@@ -205,19 +205,22 @@ def evaluate_detector(
     ``segm=True`` (Mask R-CNN style detectors) additionally pastes each
     detection's mask onto the original image frame and reports mask-IoU
     COCO metrics under ``segm_*`` keys; the returned detections then carry
-    ``masks`` (D, oh, ow) bool.  Mask fusion across TTA augmentations is
-    undefined (NMS drops provenance), so ``segm`` requires ``tta=False``.
+    ``masks`` as a list of COCO RLE dicts (streamed per image through the
+    native codec — full-resolution masks are never retained, so a full val
+    set fits in memory).  With ``tta=True``, boxes fuse across
+    augmentations via NMS (which SELECTS candidates, so mask provenance
+    survives): each kept detection's mask patch comes from its source
+    augmentation, unflipped, and is pasted at its fused original-frame box.
     """
     import jax.numpy as jnp
 
     from ..data.collate import pick_canvas
+    from ..data.ops.mask import rle_encode
     from .eval import eval_coco_map, eval_coco_segm_map, eval_voc_map
     from .tta import masks_to_original, merge_tta_detections
 
     from ..models.detectors import FastRCNNConfig
 
-    if segm and tta:
-        raise ValueError("segm evaluation does not support TTA fusion")
     if infer is None:
         infer = make_inference_fn(model, det_cfg, segm=segm)
 
@@ -304,19 +307,62 @@ def evaluate_detector(
     detections, annotations = [], []
     for i in range(n):
         if segm:
-            # single-aug pass-through: detections already NMS'd in their own
-            # frame (IoU is scale/flip-invariant, so re-fusing is a no-op at
-            # best and drops mask provenance at worst) — map boxes + paste
-            # masks to the original frame directly.
-            det0 = results[(i, 0)]
-            masks, boxes_o = masks_to_original(
-                det0.get("mask_probs", np.zeros((0, 1, 1), np.float32)),
-                det0["boxes"], metas_all[i][0],
-            )
-            detections.append(dict(
-                boxes=boxes_o.astype(np.float32), scores=det0["scores"],
-                labels=det0["labels"] + 1, masks=masks,
-            ))
+            per_aug = [results[(i, a)] for a in range(len(metas_all[i]))]
+            for det in per_aug:
+                if "mask_probs" not in det:
+                    raise ValueError(
+                        "segm=True needs inference results carrying "
+                        "'mask_probs' — pass a mask-capable `infer` "
+                        "(make_inference_fn(..., segm=True))"
+                    )
+            if len(per_aug) > 1 and not tta:
+                raise ValueError(
+                    "dataset yields multiple test augmentations but tta=False; "
+                    "segm evaluation would silently discard all but aug 0 — "
+                    "pass tta=True (provenance-keeping fusion) or configure a "
+                    "single-aug val dataset"
+                )
+            oh, ow = metas_all[i][0]["ori_shape"][:2]
+            if not tta:
+                # single-aug: detections already NMS'd in their own frame —
+                # map boxes + paste masks to the original frame directly.
+                det0 = per_aug[0]
+                masks, boxes_o = masks_to_original(
+                    det0["mask_probs"], det0["boxes"], metas_all[i][0],
+                )
+                det_out = dict(
+                    boxes=boxes_o.astype(np.float32), scores=det0["scores"],
+                    labels=det0["labels"] + 1,
+                )
+            else:
+                # TTA: unflip each aug's mask patches into original-frame
+                # orientation, fuse boxes with NMS, and paste each kept
+                # detection's source patch at its fused original-frame box.
+                from ..models.heads import paste_masks_np
+
+                probs_per_aug = []
+                for det, meta in zip(per_aug, metas_all[i]):
+                    p = np.asarray(det["mask_probs"], np.float32)
+                    if meta.get("flipped_flag"):
+                        if meta.get("flipped_direction", "horizontal") == "horizontal":
+                            p = p[:, :, ::-1]
+                        else:
+                            p = p[:, ::-1, :]
+                    probs_per_aug.append(p)
+                fused = merge_tta_detections(
+                    per_aug, metas_all[i],
+                    iou_thr=getattr(det_cfg, "nms_iou_thr", 0.5),
+                    extras=probs_per_aug,
+                )
+                masks = paste_masks_np(fused["extras"], fused["boxes"], (oh, ow))
+                det_out = dict(
+                    boxes=fused["boxes"].astype(np.float32),
+                    scores=fused["scores"], labels=fused["labels"] + 1,
+                )
+            # stream to RLE immediately — never retain dense masks across
+            # images (ADVICE r3: full-res retention OOMs at COCO val scale)
+            det_out["masks"] = [rle_encode(m) for m in np.asarray(masks, np.uint8)]
+            detections.append(det_out)
         else:
             per_aug = [results[(i, a)] for a in range(len(metas_all[i]))]
             # DETR has no NMS threshold; TTA box fusion still needs one
@@ -326,7 +372,17 @@ def evaluate_detector(
             detections.append(
                 dict(boxes=fused["boxes"], scores=fused["scores"], labels=fused["labels"] + 1)
             )
-        annotations.append(dataset.get_ann_info(i))
+        ann = dataset.get_ann_info(i)
+        if segm:
+            # gt masks stream to RLE too (the evaluator is RLE-native)
+            ann = dict(
+                ann,
+                masks=[m if isinstance(m, dict) else rle_encode(np.asarray(m, np.uint8))
+                       for m in ann.get("masks", [])],
+                masks_ignore=[m if isinstance(m, dict) else rle_encode(np.asarray(m, np.uint8))
+                              for m in ann.get("masks_ignore", [])],
+            )
+        annotations.append(ann)
 
     if voc_metric:
         out = eval_voc_map(detections, annotations, det_cfg.num_classes, use_07_metric=True)
@@ -376,13 +432,15 @@ def coco_detection_dump(dataset, detections) -> list:
 
 
 def coco_segm_dump(dataset, detections) -> list:
-    """Per-image detections with ``masks`` -> COCO segm results records.
+    """Per-image detections with ``masks`` (RLE dicts as streamed by
+    ``evaluate_detector(segm=True)``, or dense arrays) -> COCO segm results
+    records.
 
-    Masks RLE-encode through the native codec (``data/ops/mask.py``), so the
-    json is pycocotools-submission-compatible ({"size", "counts"} with the
-    compressed-counts string).  Same id mapping as ``coco_detection_dump``.
+    The json is pycocotools-submission-compatible ({"size", "counts"} with
+    the compressed-counts string, via the native codec in
+    ``data/ops/mask.py``).  Same id mapping as ``coco_detection_dump``.
     """
-    from ..data.ops.mask import rle_encode
+    from ..data.ops.mask import _rle_compress, rle_encode
 
     label2cat = None
     if hasattr(dataset, "cat2label"):
@@ -395,8 +453,10 @@ def coco_segm_dump(dataset, detections) -> list:
             img_id = idx
         for mask, score, label in zip(det["masks"], det["scores"], det["labels"]):
             label = int(label)
-            rle = rle_encode(np.asarray(mask, np.uint8))
+            rle = mask if isinstance(mask, dict) else rle_encode(np.asarray(mask, np.uint8))
             counts = rle["counts"]
+            if not isinstance(counts, (bytes, str)):
+                counts = _rle_compress(counts)
             if isinstance(counts, bytes):
                 rle = dict(rle, counts=counts.decode("ascii"))
             records.append({
