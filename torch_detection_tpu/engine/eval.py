@@ -295,7 +295,10 @@ def eval_coco_map(
     computed.  Reference ann conventions: /root/reference/datasets/coco.py:40-88.
     """
     if iou_thrs is None:
-        iou_thrs = np.arange(0.5, 1.0, 0.05)
+        # exact linspace, not arange: arange's accumulation drift makes
+        # the 0.75 rung 0.75+2e-16, silently rejecting IoU == 0.75
+        # matches (pycocotools uses linspace for precisely this reason)
+        iou_thrs = np.linspace(0.5, 0.95, 10)
     iou_thrs = np.asarray(iou_thrs, np.float64)
     max_dets = tuple(sorted(max_dets))
     area_ranges = ("all", "small", "medium", "large")
@@ -408,7 +411,10 @@ def eval_coco_segm_map(
     from ..data.ops.mask import rle_area, rle_iou_matrix
 
     if iou_thrs is None:
-        iou_thrs = np.arange(0.5, 1.0, 0.05)
+        # exact linspace, not arange: arange's accumulation drift makes
+        # the 0.75 rung 0.75+2e-16, silently rejecting IoU == 0.75
+        # matches (pycocotools uses linspace for precisely this reason)
+        iou_thrs = np.linspace(0.5, 0.95, 10)
     iou_thrs = np.asarray(iou_thrs, np.float64)
     max_dets = tuple(sorted(max_dets))
     area_ranges = ("all", "small", "medium", "large")
