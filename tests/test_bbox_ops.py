@@ -1,6 +1,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.core
+
 from torch_detection_tpu.data.ops import (
     bbox_convert_mode,
     bbox_crop,

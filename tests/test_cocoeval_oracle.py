@@ -14,6 +14,8 @@ to < 1e-9.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.core
+
 from cocoeval_oracle import COCOevalOracle
 from torch_detection_tpu.engine.eval import eval_coco_map, eval_coco_segm_map
 

@@ -3,6 +3,8 @@ import os.path as osp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.core
+
 from data_fixtures import make_coco, make_voc
 from torch_detection_tpu.data import (
     COCO,

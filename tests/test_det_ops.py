@@ -23,6 +23,7 @@ from torch_detection_tpu.ops import (
 )
 
 
+@pytest.mark.core
 class TestAnchors:
     def test_base_anchor_geometry(self):
         ba = np.asarray(base_anchors(8, ratios=[1.0], scales=[1.0]))
@@ -65,6 +66,7 @@ class TestAnchors:
         assert g.featmap_sizes_for((128, 96)) == [(16, 12), (8, 6), (4, 3)]
 
 
+@pytest.mark.core
 class TestBoxes:
     def test_iou_simple(self):
         a = jnp.array([[0.0, 0.0, 9.0, 9.0]])  # 10x10 inclusive
@@ -102,6 +104,7 @@ class TestBoxes:
         np.testing.assert_allclose(np.asarray(out), np.asarray(rois), atol=1e-4)
 
 
+@pytest.mark.core
 class TestAssigner:
     def _setup(self):
         anchors = jnp.array(
@@ -164,6 +167,7 @@ class TestAssigner:
 
 
 class TestNMS:
+    @pytest.mark.core
     def test_single_class_greedy(self):
         boxes = jnp.array(
             [
@@ -285,6 +289,7 @@ class TestNMS:
         s = np.asarray(res.scores)[v]
         assert (np.diff(s) <= 1e-6).all()
 
+    @pytest.mark.core
     def test_against_reference_greedy(self, rng):
         # compare against a hand-rolled numpy greedy NMS on random boxes
         n = 60
@@ -321,6 +326,7 @@ class TestNMS:
         np.testing.assert_allclose(got_scores, scores[want], rtol=1e-6)
 
 
+@pytest.mark.core
 class TestLosses:
     def test_sparse_focal_matches_dense_values_and_grads(self, rng):
         from torch_detection_tpu.ops.losses import sigmoid_focal_loss_sparse
@@ -384,6 +390,7 @@ class TestLosses:
         np.testing.assert_allclose(loss, 1 + 100.0 / 300.0, rtol=1e-5)
 
 
+@pytest.mark.core
 class TestTpuGather:
     """ops/tpu_gather one-hot selections must be EXACT vs plain indexing."""
 

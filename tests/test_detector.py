@@ -47,6 +47,7 @@ def det_setup():
 
 
 class TestDetector:
+    @pytest.mark.core
     def test_forward_shapes(self, det_setup, rng):
         m, vars_ = det_setup
         x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
@@ -153,6 +154,7 @@ class TestDetector:
         sa = np.asarray(approx.scores)[np.asarray(approx.valid)]
         np.testing.assert_allclose(se[:3], sa[:3], rtol=1e-2)
 
+    @pytest.mark.core
     def test_loss_detects_matching_anchor(self, det_setup):
         """A gt that exactly matches an anchor must produce >= 1 positive."""
         m, vars_ = det_setup

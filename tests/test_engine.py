@@ -29,6 +29,7 @@ def ann(boxes, labels, ignore=None):
     )
 
 
+@pytest.mark.core
 class TestCocoMap:
     def test_perfect_detection(self):
         d = [det([[0, 0, 9, 9]], [0.9], [1])]
@@ -83,6 +84,7 @@ class TestCocoMap:
         assert np.isnan(large) or large == 0.0
 
 
+@pytest.mark.core
 class TestCocoProtocolExact:
     """Fixtures whose COCOeval results are computed analytically — the
     match-then-ignore semantics pycocotools implements (VERDICT.md #4)."""
@@ -180,6 +182,7 @@ class TestCocoProtocolExact:
         assert res["mAP_50"] == pytest.approx(1.0, abs=1e-9)
 
 
+@pytest.mark.core
 class TestVocMap:
     def test_perfect(self):
         d = [det([[0, 0, 9, 9]], [0.9], [1])]
@@ -198,6 +201,7 @@ class TestVocMap:
 
 
 class TestCheckpoint:
+    @pytest.mark.core
     def test_save_load_roundtrip(self, tmp_path):
         variables = {
             "params": {"conv": {"kernel": np.ones((3, 3, 2, 4), np.float32)}},
@@ -305,6 +309,7 @@ class TestCheckpoint:
         )
 
 
+@pytest.mark.core
 class TestTTA:
     def test_flip_and_scale_merge(self):
         # same object seen in two augs: scale 2.0 and hflipped scale 1.0
@@ -319,6 +324,7 @@ class TestTTA:
         np.testing.assert_allclose(fused["boxes"][0], [10, 10, 30, 30], atol=1.0)
 
 
+@pytest.mark.core
 def test_lr_schedule():
     import jax.numpy as jnp
 
@@ -330,6 +336,7 @@ def test_lr_schedule():
     assert float(sched(1101)) == pytest.approx(0.0001, rel=1e-3)
 
 
+@pytest.mark.core
 class TestSegmMap:
     def _mask(self, h, w, y0, y1, x0, x1):
         m = np.zeros((h, w), np.uint8)
@@ -371,6 +378,7 @@ class TestSegmMap:
         assert res["mAP"] < 0.5
 
 
+@pytest.mark.core
 def test_latest_checkpoint(tmp_path):
     from torch_detection_tpu.engine import latest_checkpoint
 
@@ -428,6 +436,7 @@ def test_sharded_evaluation_matches_single_device():
         assert single[k] == pytest.approx(sharded[k], abs=1e-6), k
 
 
+@pytest.mark.core
 def test_cosine_lr_schedule():
     import numpy as np
 

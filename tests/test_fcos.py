@@ -44,6 +44,7 @@ def fcos_setup():
     return m, vars_
 
 
+@pytest.mark.core
 class TestPointsAndTargets:
     def test_level_points_geometry(self):
         p = np.asarray(level_points((2, 3), 8))

@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.core
 from scipy.optimize import linear_sum_assignment as scipy_lsa
 
 from torch_detection_tpu.ops.hungarian import (

@@ -1,6 +1,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.core
+
 from torch_detection_tpu.data.ops import (
     img_aspect_ratio_flag,
     img_crop,

@@ -1,6 +1,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.core
+
 from torch_detection_tpu.data.ops import (
     mask_crop,
     mask_flip,

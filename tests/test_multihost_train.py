@@ -49,6 +49,7 @@ def _replica_loader(dataset, rank):
     )
 
 
+@pytest.mark.core
 def test_replica_shards_disjoint_and_cover(coco_dataset):
     loaders = [_replica_loader(coco_dataset, r) for r in (0, 1)]
     seen = []

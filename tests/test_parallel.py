@@ -6,6 +6,8 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.core
+
 from torch_detection_tpu.parallel import (
     TrainState,
     batch_sharding,

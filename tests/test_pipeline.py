@@ -4,6 +4,8 @@ epoch-seeded determinism, per-rank disjointness + coverage, group homogeneity)."
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.core
+
 from data_fixtures import make_coco
 from torch_detection_tpu.data import (
     CocoDataset,

@@ -13,6 +13,8 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.core
+
 from torch_detection_tpu.parallel import (
     create_train_state,
     make_mesh,

@@ -20,6 +20,7 @@ from torch_detection_tpu.ops.roi_align import (
 )
 
 
+@pytest.mark.core
 class TestRoIAlign:
     def test_constant_region(self):
         # feature = 5 inside a block; a roi fully inside must average to 5

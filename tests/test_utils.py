@@ -5,6 +5,8 @@ import random
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.core
+
 from torch_detection_tpu.utils import (
     Config,
     Registry,
