@@ -166,19 +166,21 @@ def measure_tpu() -> float:
     float(acc)
 
     iters = 20
-    # Two timing windows; report the SECOND (steady-state) one.  The first
-    # window doubles as extra warmup — a freshly restarted axon tunnel runs
-    # ~20% slow for its first seconds, and best-of-N would bias optimistic.
-    last = 0.0
-    for _ in range(2):
+    # Four timing windows; report the MEDIAN of the last three.  The first
+    # window is extra warmup — a freshly restarted axon tunnel runs ~20%
+    # slow for its first seconds — and the median (vs best-of-N, which
+    # biases optimistic, or a single window, which moved +-3% with tunnel
+    # state across rounds) makes the driver-visible number stable.
+    windows = []
+    for _ in range(4):
         t0 = time.perf_counter()
         acc = jnp.zeros(())
         for _ in range(iters):
             acc = infer(variables, xb, shapes, acc)
         float(acc)
         dt = time.perf_counter() - t0
-        last = iters * BATCH / dt
-    return last
+        windows.append(iters * BATCH / dt)
+    return float(np.median(windows[1:]))
 
 
 def main():

@@ -281,6 +281,12 @@ class TestMaskAndTestCollate:
         assert batch["gt_masks"][0, 0].sum() > 0
         assert batch["gt_masks"][0, 1].sum() == 0  # padding row
 
+        # the mask channel dim buckets to the smallest of {8,16,32,64,max}
+        # covering the batch (boxes/labels keep the full max_gts slate)
+        batch = collate([ds[0], ds[1]], max_gts=100)
+        assert batch["gt_masks"].shape[1] == 8
+        assert batch["gt_boxes"].shape[1] == 100
+
     def test_collate_with_crowd(self, tmp_path_factory):
         from torch_detection_tpu.data import CocoDataset, collate
 

@@ -131,11 +131,20 @@ def collate(
         batch["proposal_valid"] = prop_valid
 
     if "gt_masks" in samples[0]:
-        # masks pad to (B, max_gts, H, W) uint8
-        masks = np.zeros((b, max_gts, hw[0], hw[1]), np.uint8)
+        # masks pad to (B, G, H, W) uint8 with G BUCKETED to the smallest of
+        # {8, 16, 32, 64, max_gts} covering the batch's max gt count (r4):
+        # the on-device mask-target pyramid and the host->device wire both
+        # cost linearly in G, and typical COCO batches carry ~10-30 valid
+        # gts of the max_gts=100 slate — all-zero channels were ~70% of the
+        # mask-target tier.  Semantics-exact: rois only ever match VALID
+        # gts, which occupy the slate prefix.  Bounded program count: one
+        # XLA train program per (canvas bucket, G bucket).
+        n_max = max(min(len(s["gt_masks"].data), max_gts) for s in samples)
+        g = next((bk for bk in (8, 16, 32, 64) if n_max <= bk < max_gts), max_gts)
+        masks = np.zeros((b, g, hw[0], hw[1]), np.uint8)
         for i, s in enumerate(samples):
             m = s["gt_masks"].data
-            n = min(len(m), max_gts)
+            n = min(len(m), g)
             if n:
                 masks[i, :n, : m.shape[1], : m.shape[2]] = m[:n]
         batch["gt_masks"] = masks

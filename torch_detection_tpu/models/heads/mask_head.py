@@ -88,28 +88,59 @@ def mask_targets_for_rois(
     # ~((c*M-1)/(2*M))^2: 4*M covers aspect <= ~3.9; beyond it bilinear
     # samples clamp at the crop edge (quality degrades only at far tips).
     crop = 4 * mask_size
-    feats = [gt_masks.astype(jnp.bfloat16)]  # (G, H, W) channels-leading
-    for _ in range(num_levels - 1):
-        f = feats[-1]
+
+    # Pyramid WITHOUT a full-resolution bf16 copy (r4: u8 streams at only
+    # ~134 GB/s on v5e, so the old `gt_masks.astype(bf16)` level-0
+    # materialization plus reshape-mean chain cost 19.4 ms of a 27.4 ms
+    # b4 target tier; this formulation measures ~half that, and the gt
+    # channel dim is bucketed by the collate on top):
+    #   * level 0 stays the RAW u8 tensor — level-0-routed rois slice their
+    #     window from it directly and cast 112x112 at a time;
+    #   * level 1 is EXACT u8 2x2 sums (binary masks: sum <= 4) * 0.25;
+    #   * levels 2..5 are bf16 strided-add means.
+    # Numerics: identical means (u8 sums are exact; bf16 (a+b)+(c+d) vs
+    # mean() differ by <= 1 ulp as before).
+    ph, pw = (-h) % 2, (-w) % 2
+    mp = jnp.pad(gt_masks, ((0, 0), (0, ph), (0, pw)))
+    s1 = mp[:, 0::2, :] + mp[:, 1::2, :]
+    s1 = s1[:, :, 0::2] + s1[:, :, 1::2]
+    feats_bf = [s1.astype(jnp.bfloat16) * jnp.bfloat16(0.25)]  # level 1
+    for _ in range(num_levels - 2):
+        f = feats_bf[-1]
         ph, pw = (-f.shape[1]) % 2, (-f.shape[2]) % 2
         f = jnp.pad(f, ((0, 0), (0, ph), (0, pw)))
-        f = f.reshape(g, f.shape[1] // 2, 2, f.shape[2] // 2, 2).mean((2, 4))
-        feats.append(f)
+        f = (f[:, 0::2, :] + f[:, 1::2, :])
+        f = (f[:, :, 0::2] + f[:, :, 1::2]) * jnp.bfloat16(0.25)
+        feats_bf.append(f)
+
     strides = tuple(2 ** i for i in range(num_levels))
+    level_shapes = [(h, w)] + [f.shape[1:] for f in feats_bf]
     h_pads, w_max, starts, wy, wx = _window_geometry(
-        [f.shape[1:] for f in feats], rois, strides, out_size=mask_size,
+        level_shapes, rois, strides, out_size=mask_size,
         sampling_ratio=s_ratio, finest_scale=float(max(mask_size, 2)), crop=crop,
     )
+    # flat holds levels 1..5 only; level-0 rois route to the raw u8 tensor.
+    # _window_geometry clamps level-0 origins to [0, (h,w)-crop], so the raw
+    # slice is always in-bounds; the "other" slice each roi also takes (the
+    # raw one for level>=1 rois, the flat one for level-0 rois) lands on
+    # dynamic_slice's auto-clamped junk and is discarded by the select.
     padded = [
         jnp.pad(f, ((0, 0), (0, h_pad - f.shape[1]), (0, w_max - f.shape[2])))
-        for f, h_pad in zip(feats, h_pads)
+        for f, h_pad in zip(feats_bf, h_pads[1:])
     ]
-    flat = jnp.concatenate(padded, axis=1)  # (G, H_tot, w_max)
+    flat = jnp.concatenate(padded, axis=1)  # (G, H_tot(1..5), w_max)
+    lvl0_rows = h_pads[0]
+    raw = gt_masks
+    if h < crop or w < crop:  # tiny rasters only; no-op at production sizes
+        raw = jnp.pad(gt_masks, ((0, 0), (0, max(crop - h, 0)), (0, max(crop - w, 0))))
 
     def one(wy_r, wx_r, r0, c0, g_r):
-        window = jax.lax.dynamic_slice(
-            flat, (g_r, r0, c0), (1, crop, crop)
+        is_l0 = r0 < lvl0_rows
+        win_u8 = jax.lax.dynamic_slice(raw, (g_r, r0, c0), (1, crop, crop))[0]
+        win_bf = jax.lax.dynamic_slice(
+            flat, (g_r, r0 - lvl0_rows, c0), (1, crop, crop)
         )[0]
+        window = jnp.where(is_l0, win_u8.astype(flat.dtype), win_bf)
         tmp = jnp.einsum(
             "sh,hw->sw", wy_r.astype(flat.dtype), window,
             preferred_element_type=jnp.float32,
