@@ -201,6 +201,7 @@ def decode_detections(
     level_anchors = cfg.anchor_generator.grid_anchors(featmap_sizes)
     b = cls_scores[0].shape[0]
     top_k_fn = jax.lax.approx_max_k if cfg.approx_top_k else jax.lax.top_k
+    c = cfg.num_classes
 
     sel_scores, sel_anchors, sel_regs = [], [], []
     for lvl, (cls_l, reg_l) in enumerate(zip(cls_scores, bbox_preds)):
@@ -209,18 +210,48 @@ def decode_detections(
         # conv-produced bf16 tensors straight into gather/sort kernels
         # faults the current TPU runtime when fused into the model graph
         # (measured: the same decode graph on plain device arrays is fine).
-        s = cls_l.reshape(b, -1, cfg.num_classes).astype(jnp.float32)  # (B, Nl, C)
-        r = reg_l.reshape(b, -1, 4).astype(jnp.float32)
-        n_l = s.shape[1]
-        k = min(cfg.pre_select_per_level, n_l)
-        if k < n_l:
-            best = jnp.max(s, axis=-1)  # (B, Nl)
-            _, idx = top_k_fn(best, k)  # (B, k)
-            s = jnp.take_along_axis(s, idx[..., None], axis=1)
-            r = jnp.take_along_axis(r, idx[..., None], axis=1)
-            a = level_anchors[lvl][idx]  # (B, k, 4)
+        a_per = cls_l.shape[-1] // c  # anchors per position
+        hwl = cls_l.shape[1] * cls_l.shape[2]
+        k = min(cfg.pre_select_per_level, hwl * a_per)
+        if a_per > 1 and hwl > k:
+            # POSITION-granularity preselect (r4, ~6 ms/b32 over the anchor
+            # form at 800x1216): keep the map in its native (B, H, W, A*C)
+            # lane layout — the (B, N, C) anchor-major f32 copy pads C=80 to
+            # 128 lanes (1.6x HBM) and its (B, N) top-k is A x larger.  Here:
+            # top-k POSITIONS by position-max, fat-row gather (A*C lanes,
+            # ~7% pad), then an EXACT small top-k down to k anchors.
+            # Equivalence: a top-k anchor's position-max >= its score, so if
+            # its position missed the position top-k there were k positions
+            # with higher maxes, i.e. k higher-scoring anchors — contradiction.
+            # Thus top-k positions ⊇ positions of top-k anchors, and the
+            # second (exact) top-k recovers the identical anchor set when
+            # top_k_fn is exact; under approx_max_k the misses stay
+            # tail-rank-skewed at position granularity, same as before.
+            pos = cls_l.reshape(b, hwl, a_per * c).astype(jnp.float32)
+            regp = reg_l.reshape(b, hwl, a_per * 4).astype(jnp.float32)
+            best_pos = jnp.max(pos, axis=-1)  # (B, HW)
+            _, pidx = top_k_fn(best_pos, k)
+            rows = jnp.take_along_axis(pos, pidx[..., None], axis=1)  # (B,k,A*C)
+            rreg = jnp.take_along_axis(regp, pidx[..., None], axis=1)
+            s_ka = rows.reshape(b, k, a_per, c)
+            best_a = jnp.max(s_ka, axis=-1).reshape(b, k * a_per)
+            _, aidx = jax.lax.top_k(best_a, k)  # exact; (B, k*A) is small
+            s = jnp.take_along_axis(s_ka.reshape(b, k * a_per, c), aidx[..., None], axis=1)
+            r = jnp.take_along_axis(rreg.reshape(b, k * a_per, 4), aidx[..., None], axis=1)
+            gidx = jnp.take_along_axis(pidx, aidx // a_per, axis=1) * a_per + (aidx % a_per)
+            a = level_anchors[lvl][gidx]
         else:
-            a = jnp.broadcast_to(level_anchors[lvl][None], (b, n_l, 4))
+            s = cls_l.reshape(b, -1, c).astype(jnp.float32)  # (B, Nl, C)
+            r = reg_l.reshape(b, -1, 4).astype(jnp.float32)
+            n_l = s.shape[1]
+            if k < n_l:
+                best = jnp.max(s, axis=-1)  # (B, Nl)
+                _, idx = top_k_fn(best, k)  # (B, k)
+                s = jnp.take_along_axis(s, idx[..., None], axis=1)
+                r = jnp.take_along_axis(r, idx[..., None], axis=1)
+                a = level_anchors[lvl][idx]  # (B, k, 4)
+            else:
+                a = jnp.broadcast_to(level_anchors[lvl][None], (b, n_l, 4))
         sel_scores.append(s)
         sel_anchors.append(a)
         sel_regs.append(r)

@@ -1,4 +1,4 @@
-"""Fused on-device image preprocessing (Pallas TPU kernel).
+"""Fused on-device image preprocessing.
 
 BASELINE.json's north star asks for the reference's normalize / pad chain
 (``datasets/utils/image.py:87-105,326-347`` + ``dataset_transforms.py:29-44``)
@@ -6,45 +6,28 @@ fused into a single device kernel.  The TPU-native split of work:
 
   host   : jpeg decode + cv2 keep-ratio resize + flip + place on uint8 canvas
   wire   : transfer **uint8** (4x fewer bytes than float32 over PCIe/DMA)
-  device : ONE Pallas kernel: u8 -> f32, (x - mean) / std, zero the padding
-           region beyond each image's true (h, w), cast to compute dtype
+  device : ONE fused elementwise pass: u8 -> f32, (x - mean) / std, zero the
+           padding region beyond each image's true (h, w), cast to compute
+           dtype
 
-Layout note: channels-last with C=3 would waste 125/128 VPU lanes, so the
-kernel views each image as (H, W*C) — the mean/std vectors are pre-tiled to
-period-C patterns along the lane dimension, making the whole op a dense
-8x128-aligned elementwise pass.
+Implementation note (r4, measured — do not rediscover): this op is LOWERED
+BY XLA, not Pallas.  The r2 hand-written Mosaic kernel bottomed out at
+~5.2-5.8 ms @ b32 800x1216 regardless of per-element op count (Mosaic's
+u8 -> i32 -> f32 widen chain runs ~48 GB/s effective); the identical math as
+a plain jnp expression compiles to one XLA fusion at 2.8 ms.  The u8 wire +
+on-device normalize design (vs the r1 f32 host wire) is what matters — the
+kernel authorship is not.  Numerics are bit-identical to the old kernel:
+u8 -> f32 is exact and the op order ``(x - mean) * inv_std`` is unchanged.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-
-
-_ROW_BLOCK = 256  # rows per grid step; bounds VMEM to ~2.8MB per buffer
-
-
-def _normalize_kernel(shape_ref, img_ref, mean_ref, inv_std_ref, out_ref):
-    """One (image, row-block) per grid step: normalize + mask padding."""
-    i = pl.program_id(0)
-    r = pl.program_id(1)
-    h = shape_ref[i, 0]
-    w_elems = shape_ref[i, 1]  # valid width in flattened w*c elements
-
-    # Mosaic has no direct u8->f32 cast; widen through int32 (free on the VPU)
-    x = img_ref[0].astype(jnp.int32).astype(jnp.float32)
-    y = (x - mean_ref[0]) * inv_std_ref[0]
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + r * x.shape[0]
-    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    mask = (rows < h) & (cols < w_elems)
-    out_ref[0] = jnp.where(mask, y, 0.0).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
@@ -54,62 +37,21 @@ def fused_normalize_pad(
     mean: Tuple[float, ...] = (123.675, 116.28, 103.53),
     std: Tuple[float, ...] = (58.395, 57.12, 57.375),
     out_dtype=jnp.bfloat16,
-    interpret: bool = False,
+    interpret: bool = False,  # kept for API compat with the r2 Pallas kernel
 ) -> jax.Array:
     """Returns (B, H, W, C) ``out_dtype`` normalized images with zeroed pads."""
+    del interpret
     b, h, w, c = images_u8.shape
-    wc = w * c
-    flat = images_u8.reshape(b, h, wc)
+    mean_v = jnp.asarray(mean, jnp.float32)
+    inv_v = 1.0 / jnp.asarray(std, jnp.float32)
+    sh = jnp.asarray(img_shapes, jnp.int32)
 
-    mean_vec = jnp.tile(jnp.asarray(mean, jnp.float32), w).reshape(1, wc)
-    inv_std_vec = jnp.tile(1.0 / jnp.asarray(std, jnp.float32), w).reshape(1, wc)
-    # scalar-prefetched shapes: (h, w*c) per image
-    shapes_flat = jnp.stack(
-        [img_shapes[:, 0].astype(jnp.int32), img_shapes[:, 1].astype(jnp.int32) * c],
-        axis=1,
-    )
-
-    row_block = min(_ROW_BLOCK, h)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, pl.cdiv(h, row_block)),
-        in_specs=[
-            pl.BlockSpec((1, row_block, wc), lambda i, r, s: (i, r, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wc), lambda i, r, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wc), lambda i, r, s: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, row_block, wc), lambda i, r, s: (i, r, 0), memory_space=pltpu.VMEM
-        ),
-    )
-    out = pl.pallas_call(
-        _normalize_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, wc), out_dtype),
-        interpret=interpret,
-    )(shapes_flat, flat, mean_vec, inv_std_vec)
-    return out.reshape(b, h, w, c)
-
-
-def _normalize_kernel_s2d(shape_ref, img_ref, mean_ref, inv_std_ref, p_ref, col_ref, out_ref):
-    """Row-block normalize on the 2x2 space-to-depth wire.
-
-    Lane j holds s2d channel r = j % 12 of cell j // 12: sub-row p = r // 6
-    and the original column index are precomputed per-lane int32 vectors, so
-    the pad-validity test in ORIGINAL image coordinates stays a dense
-    elementwise op: valid iff 2*row + p < h and orig_col < w.
-    """
-    i = pl.program_id(0)
-    r = pl.program_id(1)
-    h = shape_ref[i, 0]
-    w = shape_ref[i, 1]
-
-    x = img_ref[0].astype(jnp.int32).astype(jnp.float32)
-    y = (x - mean_ref[0]) * inv_std_ref[0]
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + r * x.shape[0]
-    mask = (2 * rows + p_ref[0] < h) & (col_ref[0] < w)
-    out_ref[0] = jnp.where(mask, y, 0.0).astype(out_ref.dtype)
+    x = images_u8.astype(jnp.float32)
+    y = (x - mean_v) * inv_v
+    rows = jnp.arange(h, dtype=jnp.int32)[None, :, None, None]
+    cols = jnp.arange(w, dtype=jnp.int32)[None, None, :, None]
+    m = (rows < sh[:, 0, None, None, None]) & (cols < sh[:, 1, None, None, None])
+    return jnp.where(m, y, 0.0).astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
@@ -119,56 +61,36 @@ def fused_normalize_pad_s2d(
     mean: Tuple[float, ...] = (123.675, 116.28, 103.53),
     std: Tuple[float, ...] = (58.395, 57.12, 57.375),
     out_dtype=jnp.bfloat16,
-    interpret: bool = False,
+    interpret: bool = False,  # kept for API compat with the r2 Pallas kernel
 ) -> jax.Array:
     """Returns (B, H/2, W/2, 4C) ``out_dtype`` normalized s2d images.
 
     The s2d wire variant of ``fused_normalize_pad`` for ``stem_s2d``
     backbones: the host does the (free, u8) 2x2 space-to-depth during
-    canvas placement; this kernel only normalizes and masks — XLA-side
-    relayout on device would cost 4+ ms at b8 800x1216 (measured r3).
+    canvas placement; this op only normalizes and masks.  s2d channel
+    r = ch % 4C holds sub-row p = r // (2C), sub-col q = (r % 2C) // C of
+    the original 2x2 cell, so validity in ORIGINAL coords is
+    ``2*row + p < h  and  2*col + q < w``.
     """
+    del interpret
     b, h2, w2, c4 = images_s2d_u8.shape
     c = c4 // 4
-    wc = w2 * c4
-    flat = images_s2d_u8.reshape(b, h2, wc)
+    mean_v = jnp.asarray(np.tile(np.asarray(mean, np.float32), 4))
+    inv_v = jnp.asarray(np.tile(1.0 / np.asarray(std, np.float32), 4))
+    sh = jnp.asarray(img_shapes, jnp.int32)
 
-    mean12 = np.tile(np.asarray(mean, np.float32), 4)
-    inv12 = np.tile(1.0 / np.asarray(std, np.float32), 4)
-    mean_vec = jnp.asarray(np.tile(mean12, w2).reshape(1, wc))
-    inv_std_vec = jnp.asarray(np.tile(inv12, w2).reshape(1, wc))
-    lanes = np.arange(wc, dtype=np.int32)
-    rlane = lanes % c4
-    p_vec = jnp.asarray((rlane // (2 * c)).reshape(1, wc))
-    q = (rlane % (2 * c)) // c
-    col_vec = jnp.asarray((2 * (lanes // c4) + q).reshape(1, wc))
-    shapes = jnp.asarray(img_shapes, jnp.int32)
+    ch = np.arange(c4, dtype=np.int32)
+    p = jnp.asarray(ch // (2 * c))[None, None, None, :]
+    q = jnp.asarray((ch % (2 * c)) // c)[None, None, None, :]
 
-    # s2d rows are 2x wider than the plain wire; quarter the row block to
-    # keep the same VMEM footprint per grid step (128 OOMed by 68K at
-    # wc=7296: the f32 widen + compare temps stack on the u8/out blocks)
-    row_block = min(_ROW_BLOCK // 4, h2)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, pl.cdiv(h2, row_block)),
-        in_specs=[
-            pl.BlockSpec((1, row_block, wc), lambda i, r, s: (i, r, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wc), lambda i, r, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wc), lambda i, r, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wc), lambda i, r, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wc), lambda i, r, s: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, row_block, wc), lambda i, r, s: (i, r, 0), memory_space=pltpu.VMEM
-        ),
+    x = images_s2d_u8.astype(jnp.float32)
+    y = (x - mean_v) * inv_v
+    rows = jnp.arange(h2, dtype=jnp.int32)[None, :, None, None]
+    cols = jnp.arange(w2, dtype=jnp.int32)[None, None, :, None]
+    m = (2 * rows + p < sh[:, 0, None, None, None]) & (
+        2 * cols + q < sh[:, 1, None, None, None]
     )
-    out = pl.pallas_call(
-        _normalize_kernel_s2d,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h2, wc), out_dtype),
-        interpret=interpret,
-    )(shapes, flat, mean_vec, inv_std_vec, p_vec, col_vec)
-    return out.reshape(b, h2, w2, c4)
+    return jnp.where(m, y, 0.0).astype(out_dtype)
 
 
 def space_to_depth_2x2_np(x: np.ndarray) -> np.ndarray:
@@ -188,7 +110,7 @@ def normalize_pad_reference(
     mean=(123.675, 116.28, 103.53),
     std=(58.395, 57.12, 57.375),
 ) -> np.ndarray:
-    """Numpy oracle for the kernel (same math as the host-side
+    """Numpy oracle for the fused op (same math as the host-side
     img_normalize + zero-pad semantics)."""
     out = (images_u8.astype(np.float32) - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
     for i, (h, w) in enumerate(np.asarray(img_shapes)):
