@@ -26,9 +26,9 @@ from ..heads.mask_head import mask_loss, mask_targets_for_rois
 from .two_stage import (
     FasterRCNNConfig,
     TwoStageDetector,
+    _faster_rcnn_loss_core,
     _sample_fixed,
     faster_rcnn_inference,
-    faster_rcnn_loss,
 )
 
 
@@ -72,28 +72,19 @@ def mask_rcnn_loss(
     path.  The mask branch samples its own positive rois (reusing the rcnn
     assigner on proposals+gt) so the box and mask batches stay fixed-shape.
     """
-    losses = faster_rcnn_loss(cfg, model, variables, batch, rng, train=train)
+    # share ONE traced forward with the box tier: re-applying the model here
+    # is forward-CSE'd by XLA but makes JAX emit a second, independent
+    # backbone+FPN backward for the mask cotangents (+26 ms of the b4 train
+    # step, measured round-4 — see _faster_rcnn_loss_core's docstring)
+    losses, feats, proposals = _faster_rcnn_loss_core(
+        cfg, model, variables, batch, rng, train=train
+    )
 
-    images = batch["image"]
     gt_boxes = batch["gt_boxes"]
     gt_labels = batch["gt_labels"]
     gt_valid = batch["gt_valid"]
     gt_masks = batch["gt_masks"]
-    b = images.shape[0]
-
-    # recompute features + proposals (XLA CSEs the duplicate forward inside
-    # one jit; keeping this function self-contained beats threading
-    # intermediates through the box loss API)
-    feats, rpn_scores, rpn_deltas = model.apply(variables, images, train=train)
-    from ..heads.rpn_head import generate_proposals
-
-    proposals = generate_proposals(
-        cfg.proposal_train,
-        cfg.anchor_generator,
-        [jax.lax.stop_gradient(s) for s in rpn_scores],
-        [jax.lax.stop_gradient(d) for d in rpn_deltas],
-        img_shapes=batch.get("img_shape"),
-    )
+    b = gt_boxes.shape[0]
     rngs = jax.random.split(rng, b)
 
     def sample_pos_rois(i):
