@@ -468,6 +468,31 @@ def test_golden_map_gfl(golden):
 
 
 @pytest.mark.slow
+def test_golden_map_foveabox(golden):
+    from torch_detection_tpu.models.detectors import FoveaConfig, SingleStageDetector
+
+    model = SingleStageDetector(
+        backbone=dict(type="ResNet", depth=18, num_stages=3, out_indices=(0, 1, 2)),
+        neck=dict(type="FPN", in_channels=(64, 128, 256), out_channels=32, num_outs=3),
+        head=dict(type="FoveaHead", num_classes=2, in_channels=32, feat_channels=32,
+                  stacked_convs=1),
+    )
+    cfg = FoveaConfig(
+        num_classes=2, strides=(4, 8, 16),
+        # base 2x stride (the paper's rule); overlapping sqrt-area bands
+        # bracket the fixture's 16-28 px squares on the two finer levels
+        base_edges=(8.0, 16.0, 32.0),
+        scale_ranges=((1.0, 16.0), (8.0, 32.0), (16.0, 1e8)),
+        score_thr=0.05, max_detections=10, pre_nms_top_k=100,
+        pre_select_per_level=50,
+    )
+    res = _train_and_eval(golden, model, cfg, steps=200)
+    # measured fixed-seed: mAP 0.901, mAP_50 0.901 @ 200 steps
+    assert res["mAP_50"] >= 0.5, res
+    assert res["mAP"] >= 0.15, res
+
+
+@pytest.mark.slow
 def test_golden_map_detr(golden):
     from torch_detection_tpu.models.detectors import DETR, DETRConfig
 

@@ -1014,6 +1014,40 @@ def test_spatial_partition_matches_single(coco_dataset):
     assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=2e-4)
 
 
+def test_two_replica_foveabox_step_matches_single(coco_dataset):
+    """FoveaBox DP parity: fovea-region assignment and log-space targets
+    are per-image, so the sharded anchor-free loss must match unsharded."""
+    from torch_detection_tpu.models.detectors import FoveaConfig, fovea_loss
+
+    model = SingleStageDetector(
+        backbone=dict(type="ResNet", depth=18, num_stages=4, out_indices=(1, 2, 3)),
+        neck=dict(type="FPN", in_channels=(128, 256, 512), out_channels=32,
+                  num_outs=5, add_extra_convs=True, extra_convs_on_inputs=True,
+                  relu_before_extra_convs=True),
+        head=dict(type="FoveaHead", num_classes=2, in_channels=32,
+                  feat_channels=32, stacked_convs=1),
+    )
+    det_cfg = FoveaConfig(num_classes=2)
+
+    def loss_fn(params, batch_stats, batch):
+        cls, reg = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch["image"], train=True
+        )
+        losses = fovea_loss(
+            det_cfg, cls, reg, batch["gt_boxes"], batch["gt_labels"],
+            batch["gt_valid"],
+        )
+        return losses["loss"], {"loss_cls": losses["loss_cls"]}
+
+    global_batch = _global_batch_from_ranks(
+        coco_dataset, sample_per_replica=2, max_gts=8, canvas=(128, 128),
+    )
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3), jnp.float32)
+    )
+    _dp_parity_check(loss_fn, variables, global_batch)
+
+
 def test_two_replica_gfl_step_matches_single(coco_dataset):
     """GFL DP-sharded train step == single-device step (QFL/DFL targets are
     per-image; sharding the batch must only change GSPMD reassociation)."""

@@ -609,6 +609,32 @@ def main():
     dt = timed(cfg9g, args.iters)
     results.append({"config": "9g: GFL-R50 e2e inference", "images_per_sec": round(B / dt, 2)})
 
+    # ---- bonus: FoveaBox-R50 e2e (anchor-free fovea-region family; same
+    # tower cost as FCOS minus the centerness branch)
+    from torch_detection_tpu.models.detectors import FoveaConfig, decode_fovea
+
+    fovea = build_detector(dict(
+        type="SingleStageDetector",
+        backbone=dict(type="ResNet", depth=50, num_stages=4, out_indices=(1, 2, 3)),
+        neck=dict(type="FPN", in_channels=(512, 1024, 2048), out_channels=256, num_outs=5,
+                  add_extra_convs=True, extra_convs_on_inputs=True,
+                  relu_before_extra_convs=True),
+        head=dict(type="FoveaHead", num_classes=80, in_channels=256,
+                  feat_channels=256, stacked_convs=4),
+    ), compute_dtype="bfloat16")
+    fovea_cfg = FoveaConfig(num_classes=80, approx_top_k=True)
+    vars_fv = jax.jit(fovea.init)(jax.random.PRNGKey(0), xb0)
+
+    @jax.jit
+    def cfg9f(acc):
+        x = fused_normalize_pad(xu8, shp, out_dtype=jnp.bfloat16)
+        cls, reg = fovea.apply(vars_fv, x)
+        d = decode_fovea(fovea_cfg, cls, reg)
+        return acc + jnp.sum(d.scores)
+
+    dt = timed(cfg9f, args.iters)
+    results.append({"config": "9f: FoveaBox-R50 e2e inference", "images_per_sec": round(B / dt, 2)})
+
     # ---- bonus: DETR-R50 e2e (transformer set prediction, no anchors/NMS;
     # 296.5 img/s @ b8 — the fastest family at the COCO canvas)
     from torch_detection_tpu.models.detectors import DETRConfig, decode_detr

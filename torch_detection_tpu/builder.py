@@ -112,6 +112,22 @@ def build_detection_cfg(det_cfg: Dict[str, Any]):
                 kwargs[key] = tuple(v) if isinstance(v, list) else v
         return FCOSConfig(**kwargs)
 
+    if style == "fovea":
+        from .models.detectors import FoveaConfig
+
+        kwargs = {}
+        for key in ("num_classes", "strides", "base_edges", "scale_ranges",
+                    "sigma", "focal_gamma", "focal_alpha", "smooth_l1_beta",
+                    "reg_loss_weight", "score_thr", "nms_iou_thr",
+                    "pre_select_per_level", "pre_nms_top_k", "max_detections",
+                    "approx_top_k"):
+            if key in cfg:
+                v = cfg[key]
+                if key == "scale_ranges":
+                    v = tuple(tuple(r) for r in v)
+                kwargs[key] = tuple(v) if isinstance(v, list) else v
+        return FoveaConfig(**kwargs)
+
     if style == "atss":
         from .models.detectors import ATSSConfig
         from .ops.assign import ATSSAssigner
@@ -461,6 +477,25 @@ def build_loss_fn(model, det_cfg, rng_seed: int = 0):
                 "loss_cls": losses["loss_cls"],
                 "loss_reg": losses["loss_reg"],
                 "loss_centerness": losses["loss_centerness"],
+                "num_pos": losses["num_pos"],
+            }
+
+        return loss_fn
+
+    from .models.detectors import FoveaConfig, fovea_loss
+
+    if isinstance(det_cfg, FoveaConfig):
+        def loss_fn(params, batch_stats, batch):
+            cls, reg = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch["image"], train=True
+            )
+            losses = fovea_loss(
+                det_cfg, cls, reg, batch["gt_boxes"], batch["gt_labels"],
+                batch["gt_valid"],
+            )
+            return losses["loss"], {
+                "loss_cls": losses["loss_cls"],
+                "loss_reg": losses["loss_reg"],
                 "num_pos": losses["num_pos"],
             }
 

@@ -113,9 +113,12 @@ def make_serving_fn(
     from ..models.detectors import GFLConfig, decode_gfl
     from ..models.detectors import DETRConfig, decode_detr
 
+    from ..models.detectors import FoveaConfig, decode_fovea
+
     is_centernet = isinstance(det_cfg, CenterNetConfig)
     is_gfl = isinstance(det_cfg, GFLConfig)
     is_detr = isinstance(det_cfg, DETRConfig)
+    is_fovea = isinstance(det_cfg, FoveaConfig)
 
     def serve(image_u8, img_shape, scale_factor):
         if s2d_wire:
@@ -168,6 +171,11 @@ def make_serving_fn(
         elif is_gfl:
             cls, reg = model.apply(variables, x)
             d = decode_gfl(
+                det_cfg, cls, reg, img_shapes=shapes_f, scale_factors=scale_factor
+            )
+        elif is_fovea:
+            cls, reg = model.apply(variables, x)
+            d = decode_fovea(
                 det_cfg, cls, reg, img_shapes=shapes_f, scale_factors=scale_factor
             )
         elif is_detr:

@@ -156,6 +156,20 @@ def make_inference_fn(model, det_cfg, segm: bool = False) -> Callable:
 
         return infer
 
+    from ..models.detectors import FoveaConfig, decode_fovea
+
+    if isinstance(det_cfg, FoveaConfig):
+
+        @jax.jit
+        def infer(variables, image, img_shape, scale_factor):
+            cls, reg = model.apply(variables, image)
+            return decode_fovea(
+                det_cfg, cls, reg,
+                img_shapes=img_shape, scale_factors=scale_factor,
+            )
+
+        return infer
+
     if isinstance(det_cfg, (FCOSConfig, ATSSConfig)):
         decode3 = decode_atss if isinstance(det_cfg, ATSSConfig) else decode_fcos
 

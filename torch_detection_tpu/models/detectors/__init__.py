@@ -11,6 +11,7 @@ from .two_stage import (
     faster_rcnn_loss,
 )
 from .fcos import FCOSConfig, decode_fcos, fcos_loss
+from .foveabox import FoveaConfig, decode_fovea, fovea_loss
 from .atss import ATSSConfig, atss_loss, decode_atss
 from .gfl import GFLConfig, decode_gfl, gfl_loss, integral
 from .detr import DETR, DETRConfig, decode_detr, detr_loss
@@ -70,6 +71,9 @@ __all__ = [
     "FCOSConfig",
     "decode_fcos",
     "fcos_loss",
+    "FoveaConfig",
+    "decode_fovea",
+    "fovea_loss",
     "ATSSConfig",
     "atss_loss",
     "decode_atss",

@@ -1,6 +1,7 @@
 from .anchor_head import RetinaHead, flatten_head_outputs
 from .bbox_head import BBoxHead
 from .fcos_head import FCOSHead
+from .fovea_head import FoveaHead
 from .atss_head import ATSSHead
 from .gfl_head import GFLHead
 from .ssd_head import SSDHead
@@ -13,6 +14,7 @@ __all__ = [
     "CenterNetHead",
     "RetinaHead",
     "ATSSHead",
+    "FoveaHead",
     "GFLHead",
     "flatten_head_outputs",
     "BBoxHead",
