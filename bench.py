@@ -23,7 +23,9 @@ import time
 import numpy as np
 
 HW = (800, 1216)
-BATCH = 32
+# batch sweep on the warmed tunnel (r4): b32 232.0, b48 235.8, b64 234.9
+# img/s — b48 is the throughput knee for this path on one v5e
+BATCH = 48
 NUM_CLASSES = 80
 CACHE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_CPU.json")
 CACHE_KEY = f"torch_cpu_retina_r50_{HW[0]}x{HW[1]}"
