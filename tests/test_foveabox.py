@@ -208,3 +208,24 @@ class TestFoveaDetector:
         res = infer(vars_, img, shapes, sf)
         assert res.boxes.shape == (1, 8, 4)
         assert res.valid.shape == (1, 8)
+
+    def test_serving_export_roundtrip(self, fovea_setup, tmp_path, rng):
+        import os
+
+        from torch_detection_tpu.engine.export import (
+            export_serving, load_serving, save_serving,
+        )
+
+        m, vars_ = fovea_setup
+        cfg = FoveaConfig(num_classes=4, max_detections=10,
+                          pre_nms_top_k=64, score_thr=0.0)
+        exported = export_serving(m, cfg, vars_, batch=1, canvas=(64, 64),
+                                  compute_dtype=jnp.float32)
+        path = os.path.join(tmp_path, "fovea.jaxexp")
+        save_serving(exported, path)
+        img = rng.integers(0, 255, (1, 64, 64, 3)).astype(np.uint8)
+        served = load_serving(path)(
+            img, np.asarray([[64, 64]], np.int32), np.ones((1,), np.float32)
+        )
+        assert served["boxes"].shape == (1, 10, 4)
+        assert np.asarray(served["valid"]).sum() > 0
