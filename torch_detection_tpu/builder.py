@@ -239,15 +239,23 @@ def build_detection_cfg(det_cfg: Dict[str, Any]):
         kwargs["anchor_generator"] = _build_anchor_generator(anchor)
     if assigner:
         kwargs["assigner"] = MaxIoUAssigner(**assigner)
-    for key in (
+    keys = [
         "num_classes", "target_means", "target_stds", "focal_gamma", "focal_alpha",
         "smooth_l1_beta", "reg_loss_weight", "score_thr", "nms_iou_thr",
         "pre_select_per_level", "pre_nms_top_k", "max_detections",
         "approx_top_k", "nms_method", "soft_sigma",
-    ):
+    ]
+    if style == "free_anchor":
+        keys += ["pre_anchor_topk", "bbox_thr", "bag_gamma", "bag_alpha",
+                 "loc_loss_weight"]
+    for key in keys:
         if key in cfg:
             v = cfg[key]
             kwargs[key] = tuple(v) if isinstance(v, list) else v
+    if style == "free_anchor":
+        from .models.detectors import FreeAnchorConfig
+
+        return FreeAnchorConfig(**kwargs)
     return RetinaNetConfig(**kwargs)
 
 
@@ -531,6 +539,25 @@ def build_loss_fn(model, det_cfg, rng_seed: int = 0):
             return losses["loss"], {
                 "loss_cls": losses["loss_cls"],
                 "loss_reg": losses["loss_reg"],
+                "num_pos": losses["num_pos"],
+            }
+
+        return loss_fn
+
+    from .models.detectors import FreeAnchorConfig, free_anchor_loss
+
+    if isinstance(det_cfg, FreeAnchorConfig):
+        def loss_fn(params, batch_stats, batch):
+            cls, reg = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch["image"], train=True
+            )
+            losses = free_anchor_loss(
+                det_cfg, cls, reg, batch["gt_boxes"], batch["gt_labels"],
+                batch["gt_valid"],
+            )
+            return losses["loss"], {
+                "loss_pos": losses["loss_pos"],
+                "loss_neg": losses["loss_neg"],
                 "num_pos": losses["num_pos"],
             }
 

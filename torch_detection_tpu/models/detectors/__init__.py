@@ -10,6 +10,7 @@ from .two_stage import (
     faster_rcnn_inference,
     faster_rcnn_loss,
 )
+from .free_anchor import FreeAnchorConfig, free_anchor_loss
 from .fcos import FCOSConfig, decode_fcos, fcos_loss
 from .foveabox import FoveaConfig, decode_fovea, fovea_loss
 from .atss import ATSSConfig, atss_loss, decode_atss
@@ -48,6 +49,8 @@ __all__ = [
     "SingleStageDetector",
     "decode_detections",
     "retina_loss",
+    "FreeAnchorConfig",
+    "free_anchor_loss",
     "FasterRCNNConfig",
     "FastRCNN",
     "FastRCNNConfig",
