@@ -15,10 +15,12 @@ detection = dict(
         octave_base_scale=4.0,
         scales_per_octave=3,
     ),
-    # FreeAnchor decodes boxes inside the loss; the canonical setting uses
-    # non-unit target stds so exp(-0.75 * huber) is well-scaled.
+    # FreeAnchor decodes boxes inside the loss and exponentiates the huber:
+    # the canonical setting (paper / mmdet) is UNIT target stds — 0.1/0.2
+    # stds inflate the deltas 5-10x and exp(-0.75 * huber) underflows at
+    # init, starving the positive bag term.
     target_means=(0.0, 0.0, 0.0, 0.0),
-    target_stds=(0.1, 0.1, 0.2, 0.2),
+    target_stds=(1.0, 1.0, 1.0, 1.0),
     pre_anchor_topk=50,
     bbox_thr=0.6,
     bag_gamma=2.0,

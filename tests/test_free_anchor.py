@@ -216,6 +216,22 @@ class TestFreeAnchorLoss:
         assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
         assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
 
+    def test_negative_term_detached_from_regression(self):
+        """d(loss_neg)/d(reg) must be exactly zero: the decode->IoU->ramp
+        block is stop_gradient'ed (official FreeAnchor computes
+        object_box_prob under torch.no_grad())."""
+        cfg = tiny_cfg()
+        _, _, cls, reg, boxes, labels, valid = random_case(cfg, FEATS, seed=5)
+
+        def neg_only(reg):
+            return free_anchor_loss(
+                cfg, [jnp.asarray(c) for c in cls], reg, jnp.asarray(boxes),
+                jnp.asarray(labels), jnp.asarray(valid))["loss_neg"]
+
+        grads = jax.grad(neg_only)([jnp.asarray(r) for r in reg])
+        for g in jax.tree_util.tree_leaves(grads):
+            np.testing.assert_array_equal(np.asarray(g), 0.0)
+
     def test_no_valid_gt_gives_finite_loss(self):
         cfg = tiny_cfg()
         _, _, cls, reg, boxes, labels, valid = random_case(cfg, FEATS, seed=3)

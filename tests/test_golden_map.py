@@ -508,3 +508,31 @@ def test_golden_map_detr(golden):
     # converges slowest of the twelve families — band sits ~50% below)
     assert res["mAP_50"] >= 0.4, res
     assert res["mAP"] >= 0.2, res
+
+
+@pytest.mark.slow
+def test_golden_map_free_anchor(golden):
+    from torch_detection_tpu.models.detectors import (
+        FreeAnchorConfig,
+        SingleStageDetector,
+    )
+    from torch_detection_tpu.ops.anchors import AnchorGenerator
+
+    model = SingleStageDetector(
+        backbone=dict(type="ResNet", depth=18, num_stages=3, out_indices=(0, 1, 2)),
+        neck=dict(type="FPN", in_channels=(64, 128, 256), out_channels=32, num_outs=3),
+        head=dict(type="RetinaHead", num_classes=2, in_channels=32, feat_channels=32,
+                  stacked_convs=1, num_base_anchors=9),
+    )
+    cfg = FreeAnchorConfig(
+        num_classes=2,
+        anchor_generator=AnchorGenerator(strides=(4, 8, 16)),
+        # canonical FreeAnchor setting: UNIT target stds (the loss
+        # exponentiates the huber — see configs/free_anchor_r50_fpn_coco.py)
+        pre_anchor_topk=16,
+        score_thr=0.05, max_detections=10, pre_nms_top_k=100,
+    )
+    res = _train_and_eval(golden, model, cfg, steps=200)
+    # measured fixed-seed: mAP 0.884, mAP_50 1.0 @ 200 steps
+    assert res["mAP_50"] >= 0.5, res
+    assert res["mAP"] >= 0.15, res

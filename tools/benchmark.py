@@ -347,6 +347,49 @@ def main():
     dt = timed(cfg5, args.iters)
     results.append({"config": "5: e2e inference incl. preprocess+NMS", "images_per_sec": round(B / dt, 2)})
 
+    # ---- bonus: FreeAnchor (learning-to-match bags on the RetinaNet graph).
+    # Inference is IDENTICAL to row 5 (same model, same decode — the family
+    # is a training-objective change), so the family-specific number is the
+    # TRAIN step: fwd+bwd+bag-likelihood loss+SGD incl. preprocess.
+    import optax
+
+    from torch_detection_tpu.builder import build_loss_fn
+    from torch_detection_tpu.models.detectors import FreeAnchorConfig
+    from torch_detection_tpu.parallel import create_train_state, make_train_step
+
+    fa_cfg = FreeAnchorConfig(num_classes=80, approx_top_k=True)
+    fa_base_loss = build_loss_fn(model, fa_cfg)
+
+    def fa_loss(params, batch_stats, b):
+        img = fused_normalize_pad(b["image_u8"], b["img_shape"], out_dtype=jnp.bfloat16)
+        b2 = {k: v for k, v in b.items() if k != "image_u8"}
+        b2["image"] = img
+        return fa_base_loss(params, batch_stats, b2)
+
+    fa_boxes = rng.uniform(0, 700, (B, 32, 4)).astype(np.float32)
+    fa_boxes = np.concatenate(
+        [np.minimum(fa_boxes[..., :2], fa_boxes[..., 2:]),
+         np.maximum(fa_boxes[..., :2], fa_boxes[..., 2:]) + 16], -1)
+    fa_batch = {
+        "image_u8": xu8, "img_shape": shp,
+        "gt_boxes": jnp.asarray(fa_boxes),
+        "gt_labels": jnp.asarray(rng.integers(1, 81, (B, 32)).astype(np.int32)),
+        "gt_valid": jnp.asarray(rng.random((B, 32)) < 0.5),
+    }
+    fa_tx = optax.sgd(0.01, momentum=0.9)
+    fa_state = create_train_state(
+        vars_full["params"], fa_tx, batch_stats=vars_full.get("batch_stats"))
+    fa_step = make_train_step(fa_loss, fa_tx, donate_state=False)
+    fa_state, fa_m = fa_step(fa_state, fa_batch)
+    float(fa_m["loss"])  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        fa_state, fa_m = fa_step(fa_state, fa_batch)
+    float(fa_m["loss"])
+    dt = (time.perf_counter() - t0) / args.iters
+    results.append({"config": "5fa: FreeAnchor-R50 TRAIN step (inference == row 5)",
+                    "images_per_sec": round(B / dt, 2)})
+
     # ---- bonus: Faster R-CNN e2e (two-stage, fused RoIAlign)
     from torch_detection_tpu.models.detectors import (
         FasterRCNNConfig,

@@ -26,6 +26,12 @@ def main() -> None:
     parser.add_argument("--pretrained", default=None, help="e.g. torch://resnet50.pth")
     parser.add_argument("--profile-dir", default=None)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--dump-final", default=None, metavar="PATH",
+        help="after training, write the final params as PATH.rank<k>.npz "
+        "(one file PER PROCESS — lets a multi-process launch verify its "
+        "replicas agree; also a quick way to inspect weights without orbax)",
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
@@ -166,6 +172,18 @@ def main() -> None:
         total_epochs, start_epoch=start_epoch,
         skip_batches=skip_batches if args.resume else 0,
     )
+
+    if args.dump_final:
+        # every process dumps (not just main): a multi-process launch uses
+        # the per-rank files to assert the replicated params stayed bitwise
+        # identical across process boundaries
+        flat = jax.tree_util.tree_flatten_with_path(
+            jax.device_get(trainer.state.params)
+        )[0]
+        named = {"/".join(str(k) for k in p): np.asarray(v) for p, v in flat}
+        out = f"{args.dump_final}.rank{dist_info['process_index']}.npz"
+        np.savez(out, **named)
+        logging.info("dumped final params to %s", out)
 
     # final summary from the persisted curve (work_dir/metrics.jsonl)
     if trainer.is_main and os.path.exists(trainer.metrics_path):

@@ -25,8 +25,25 @@ logger = logging.getLogger(__name__)
 
 
 def _checkpointer():
+    import jax
     import orbax.checkpoint as ocp
 
+    if jax.process_count() > 1:
+        # The trainer's saves are is_main-gated and ship HOST numpy trees
+        # (device_get before save), so process 0 is the only caller — but
+        # default orbax sees the live distributed service and enters a
+        # GLOBAL sync barrier that the other ranks never join (observed:
+        # 2-process tools/train.py deadlocks at the first epoch_1 save
+        # until the coordination-service shutdown barrier times out).
+        # Restrict coordination to the calling process: the payload is
+        # process-local numpy, no cross-host anything is needed.
+        me = jax.process_index()
+        return ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=me, active_processes={me},
+            ),
+        )
     return ocp.PyTreeCheckpointer()
 
 

@@ -47,6 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.boxes import bbox2delta, bbox_overlaps, delta2bbox
+from ...ops.tpu_gather import gather_rows
 from ..heads.anchor_head import flatten_head_outputs
 from .single_stage import RetinaNetConfig
 
@@ -68,18 +69,27 @@ class FreeAnchorConfig(RetinaNetConfig):
     loc_loss_weight: float = 0.75
 
 
-def _positive_bag_loss(probs: jax.Array, valid: jax.Array) -> jax.Array:
-    """-log(mean-max likelihood) per bag.
+def _positive_bag_loss(log_probs: jax.Array, valid: jax.Array) -> jax.Array:
+    """-log(mean-max likelihood) per bag, computed in log space.
 
-    probs: (G, k) joint cls*loc probabilities; valid: (G,) gt validity.
-    Invalid bags return 0.  The mean-max weight w_i ∝ 1/(1-p_i) is detached
-    in neither the paper nor mmdet — gradients flow through both factors.
+    log_probs: (G, k) log joint cls*loc probabilities; valid: (G,) gt
+    validity.  Invalid bags return 0.  The mean-max weight w_i ∝ 1/(1-p_i)
+    is detached in neither the paper nor mmdet — gradients flow through
+    both factors.
+
+    Log space is load-bearing: at init every joint prob is ~1e-15 (cls
+    sigmoid at the 0.01 prior x exp(-huber)), so a prob-space
+    -log(clip(bag_prob, eps)) sits on the clip's flat side with ZERO
+    gradient and training never leaves the saturated regime.  The
+    -logsumexp form's gradient is a softmax over the bag — healthy
+    arbitrarily deep in saturation (torch reaches the same place via
+    BCE's internal log clamping).
     """
     eps = 1e-12
+    probs = jnp.exp(log_probs)  # may underflow to 0; only feeds the weight
     w = 1.0 / jnp.clip(1.0 - probs, eps, None)  # (G, k)
     w = w / jnp.sum(w, axis=-1, keepdims=True)
-    bag_prob = jnp.sum(w * probs, axis=-1)  # (G,)
-    loss = -jnp.log(jnp.clip(bag_prob, eps, None))
+    loss = -jax.scipy.special.logsumexp(log_probs + jnp.log(w), axis=-1)
     return jnp.where(valid, loss, 0.0)
 
 
@@ -107,7 +117,14 @@ def free_anchor_loss(
         label0 = jnp.clip(labels - 1, 0, num_classes - 1).astype(jnp.int32)
 
         # --- negative term -------------------------------------------------
-        decoded = delta2bbox(anchors, reg_pred, cfg.target_means, cfg.target_stds)
+        # The decode->IoU->ramp block is gradient-detached, matching the
+        # official FreeAnchor / mmdet formulation (their object_box_prob is
+        # computed under torch.no_grad()): the background bag loss must not
+        # push regression gradients into background-scored anchors, and
+        # detaching also skips an entire (G, N) decode+IoU backward.
+        decoded = jax.lax.stop_gradient(
+            delta2bbox(anchors, reg_pred, cfg.target_means, cfg.target_stds)
+        )
         iou = bbox_overlaps(boxes, decoded)  # (G, N) f32
         iou = jnp.where(valid[:, None], iou, 0.0)
         t1 = cfg.bbox_thr
@@ -117,22 +134,57 @@ def free_anchor_loss(
         denom = jnp.maximum(t2 - t1, 1e-6)
         box_prob = jnp.clip((iou - t1) / denom, 0.0, 1.0)  # (G, N)
         box_prob = jnp.where(valid[:, None], box_prob, 0.0)
-        # per-class max over gts: segment_max of the G rows into C buckets;
-        # classes with no gt get the -inf identity -> clamp to 0.
-        obj_box_prob = jax.ops.segment_max(
-            box_prob, label0, num_segments=num_classes
-        )  # (C, N)
-        obj_box_prob = jnp.maximum(obj_box_prob, 0.0).T  # (N, C)
-        p_bg = cls_prob * (1.0 - obj_box_prob)
-        p_bg = jnp.clip(p_bg, 0.0, 1.0 - 1e-12)
-        neg_loss = jnp.sum(p_bg ** cfg.bag_gamma * -jnp.log1p(-p_bg))
+
+        def _f(p):
+            # focal-weighted background BCE.  The clip ceiling must be
+            # representable in f32: 1 - 1e-12 rounds back to 1.0, making the
+            # clip a no-op and -log1p(-1) = inf once a sigmoid saturates
+            # (seen at ~150 train steps on the golden fixture).
+            p = jnp.clip(p, 0.0, 1.0 - 1e-6)
+            return p ** cfg.bag_gamma * -jnp.log1p(-p)
+
+        # sum_{n,c} f(cls * (1 - obj_box_prob)) without materializing the
+        # per-class max over gts: XLA lowers segment_max's (G -> C) scatter
+        # at N=182k width ~15x off memory roofline (measured 11 ms of a
+        # 28 ms tier @ b8).  Only the <= G label columns have obj > 0, so
+        #   neg = sum f(cls)                                [dense, no scatter]
+        #       + sum_{g first-of-label} sum_n  f(cls_g * (1-objmax_g))
+        #                                      - f(cls_g)   [correction]
+        # where objmax_g = max over gts sharing g's label (a static G-step
+        # loop of (G, N) maxes, G is small) and "first" dedups shared labels.
+        eq = (
+            (label0[:, None] == label0[None, :])
+            & valid[:, None] & valid[None, :]
+        )  # (G, G)
+        order = jnp.arange(label0.shape[0])
+        first = valid & ~jnp.any(eq & (order[None, :] < order[:, None]), axis=1)
+        objmax = jnp.zeros_like(box_prob)
+        for g in range(label0.shape[0]):  # static G, fused by XLA
+            objmax = jnp.maximum(
+                objmax, jnp.where(eq[:, g][:, None], box_prob[g][None, :], 0.0)
+            )
+        # label columns of cls_prob as a one-hot contraction (exact; the
+        # (G, N) output is too large for plain column gathers on TPU)
+        cls_sel = gather_rows(cls_prob.T, label0)  # (G, N)
+        corr = _f(cls_sel * (1.0 - objmax)) - _f(cls_sel)
+        neg_loss = jnp.sum(_f(cls_prob)) + jnp.sum(
+            jnp.where(first[:, None], corr, 0.0)
+        )
 
         # --- positive term -------------------------------------------------
         anchor_iou = bbox_overlaps(boxes, anchors.astype(jnp.float32))  # (G, N)
-        _, bag_idx = jax.lax.top_k(anchor_iou, k)  # (G, k) indices into N
+        # exact top_k over (G, 182k) costs 68 ms @ b8 where approx_max_k is
+        # free (3.8 ms incl. the IoU); approx misses are tail-ranked bag
+        # members whose joint prob the mean-max weight ignores anyway —
+        # gated on the repo-wide approx_top_k flag (default False = exact
+        # parity with the published formulation)
+        if cfg.approx_top_k:
+            _, bag_idx = jax.lax.approx_max_k(anchor_iou, k)  # (G, k)
+        else:
+            _, bag_idx = jax.lax.top_k(anchor_iou, k)  # (G, k) indices into N
         # small-output gathers (G*k rows) — plain indexing per tpu_gather rule
         flat_idx = bag_idx * num_classes + label0[:, None]  # (G, k)
-        matched_cls = cls_prob.reshape(-1)[flat_idx]  # (G, k)
+        matched_logit = cls_logits.astype(jnp.float32).reshape(-1)[flat_idx]
         matched_anchors = anchors[bag_idx]  # (G, k, 4)
         matched_reg = reg_pred[bag_idx]  # (G, k, 4)
         targets = bbox2delta(
@@ -143,10 +195,10 @@ def free_anchor_loss(
         loc = jnp.where(
             diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta
         ).sum(-1)  # (G, k) unreduced huber (ops.smooth_l1_loss always reduces)
-        matched_box = jnp.exp(-cfg.loc_loss_weight * loc)
-        pos_loss = jnp.sum(
-            _positive_bag_loss(matched_cls * matched_box, valid)
-        )
+        # log joint prob: log_sigmoid(cls) + log exp(-w*loc); stays exact
+        # where the prob-space product underflows f32 (see _positive_bag_loss)
+        log_joint = jax.nn.log_sigmoid(matched_logit) - cfg.loc_loss_weight * loc
+        pos_loss = jnp.sum(_positive_bag_loss(log_joint, valid))
         num_pos = jnp.sum(valid.astype(jnp.float32))
         return pos_loss, neg_loss, num_pos
 
