@@ -1365,3 +1365,45 @@ runtime = dict(work_dir="unused", log_interval=1, mesh=dict(model=1),
     assert set(sp) == set(r0)
     for k in r0:
         np.testing.assert_allclose(r0[k], sp[k], rtol=2e-4, atol=3e-6, err_msg=k)
+
+
+def test_two_replica_paa_step_matches_single(coco_dataset):
+    """PAA DP parity: the GMM reassignment (fixed-shape EM vmapped over
+    batch x gt) is per-image, so the sharded loss must match unsharded —
+    this also proves the EM's lax loops stay shard-local under GSPMD."""
+    from torch_detection_tpu.models.detectors import PAAConfig, paa_loss
+
+    model = SingleStageDetector(
+        backbone=dict(type="ResNet", depth=18, num_stages=4, out_indices=(1, 2, 3)),
+        neck=dict(type="FPN", in_channels=(128, 256, 512), out_channels=32,
+                  num_outs=5, add_extra_convs=True, extra_convs_on_inputs=True,
+                  relu_before_extra_convs=True),
+        head=dict(type="PAAHead", num_classes=2, in_channels=32,
+                  feat_channels=32, stacked_convs=1),
+    )
+    det_cfg = PAAConfig(
+        num_classes=2,
+        anchor_generator=AnchorGenerator(
+            strides=(8, 16, 32, 64, 128), ratios=(1.0,),
+            octave_base_scale=8.0, scales_per_octave=1,
+        ),
+        topk=4,
+    )
+
+    def loss_fn(params, batch_stats, batch):
+        cls, reg, iou_p = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch["image"], train=True
+        )
+        losses = paa_loss(
+            det_cfg, cls, reg, iou_p, batch["gt_boxes"], batch["gt_labels"],
+            batch["gt_valid"], img_shapes=batch.get("img_shape"),
+        )
+        return losses["loss"], {"loss_cls": losses["loss_cls"]}
+
+    global_batch = _global_batch_from_ranks(
+        coco_dataset, sample_per_replica=2, max_gts=8, canvas=(128, 128),
+    )
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3), jnp.float32)
+    )
+    _dp_parity_check(loss_fn, variables, global_batch)

@@ -678,6 +678,25 @@ def main():
     dt = timed(cfg9f, args.iters)
     results.append({"config": "9f: FoveaBox-R50 e2e inference", "images_per_sec": round(B / dt, 2)})
 
+    # ---- bonus: PAA-R50 e2e (probabilistic anchor assignment; ATSS graph,
+    # IoU-pred rescoring sqrt(cls*iou) + score voting over the pre-NMS
+    # candidates — the GMM assignment is train-only, so inference costs
+    # ~ATSS + the voting matmuls)
+    from torch_detection_tpu.models.detectors import PAAConfig, decode_paa
+
+    paa_cfg = PAAConfig(num_classes=80, approx_top_k=True)
+    # same module tree as ATSS — reuse its initialized variables
+    @jax.jit
+    def cfg9p(acc):
+        x = fused_normalize_pad(xu8, shp, out_dtype=jnp.bfloat16)
+        cls, reg, iou_p = atss.apply(vars_at, x)
+        d = decode_paa(paa_cfg, cls, reg, iou_p)
+        return acc + jnp.sum(d.scores) + jnp.sum(d.boxes)
+
+    dt = timed(cfg9p, args.iters)
+    results.append({"config": "9p: PAA-R50 e2e inference (incl. score voting)",
+                    "images_per_sec": round(B / dt, 2)})
+
     # ---- bonus: DETR-R50 e2e (transformer set prediction, no anchors/NMS;
     # 296.5 img/s @ b8 — the fastest family at the COCO canvas)
     from torch_detection_tpu.models.detectors import DETRConfig, decode_detr

@@ -146,6 +146,33 @@ def build_detection_cfg(det_cfg: Dict[str, Any]):
                 kwargs[key] = tuple(v) if isinstance(v, list) else v
         return ATSSConfig(**kwargs)
 
+    if style == "paa":
+        from .models.detectors import PAAConfig
+        from .ops.assign import MaxIoUAssigner
+
+        kwargs = {}
+        if anchor:
+            kwargs["anchor_generator"] = _build_anchor_generator(anchor)
+        if assigner:
+            # _base_ deep-merge can leave foreign assigner keys behind
+            # (e.g. ATSS's topk when a PAA config inherits the ATSS file);
+            # keep only MaxIoUAssigner's fields
+            fields = ("pos_iou_thr", "neg_iou_thr", "min_pos_iou",
+                      "gt_max_assign_all", "ignore_iof_thr")
+            kwargs["assigner"] = MaxIoUAssigner(
+                **{k: v for k, v in assigner.items() if k in fields}
+            )
+        for key in ("num_classes", "target_means", "target_stds", "topk",
+                    "gmm_iters", "focal_gamma", "focal_alpha",
+                    "reg_loss_weight", "iou_loss_weight", "score_thr",
+                    "nms_iou_thr", "pre_select_per_level", "pre_nms_top_k",
+                    "max_detections", "score_voting", "voting_sigma",
+                    "approx_top_k"):
+            if key in cfg:
+                v = cfg[key]
+                kwargs[key] = tuple(v) if isinstance(v, list) else v
+        return PAAConfig(**kwargs)
+
     if style == "detr":
         from .models.detectors import DETRConfig
 
@@ -485,6 +512,26 @@ def build_loss_fn(model, det_cfg, rng_seed: int = 0):
                 "loss_cls": losses["loss_cls"],
                 "loss_reg": losses["loss_reg"],
                 "loss_centerness": losses["loss_centerness"],
+                "num_pos": losses["num_pos"],
+            }
+
+        return loss_fn
+
+    from .models.detectors import PAAConfig, paa_loss
+
+    if isinstance(det_cfg, PAAConfig):
+        def loss_fn(params, batch_stats, batch):
+            cls, reg, iou_p = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch["image"], train=True
+            )
+            losses = paa_loss(
+                det_cfg, cls, reg, iou_p, batch["gt_boxes"], batch["gt_labels"],
+                batch["gt_valid"], img_shapes=batch.get("img_shape"),
+            )
+            return losses["loss"], {
+                "loss_cls": losses["loss_cls"],
+                "loss_reg": losses["loss_reg"],
+                "loss_iou": losses["loss_iou"],
                 "num_pos": losses["num_pos"],
             }
 

@@ -170,8 +170,17 @@ def make_inference_fn(model, det_cfg, segm: bool = False) -> Callable:
 
         return infer
 
-    if isinstance(det_cfg, (FCOSConfig, ATSSConfig)):
-        decode3 = decode_atss if isinstance(det_cfg, ATSSConfig) else decode_fcos
+    from ..models.detectors import PAAConfig, decode_paa
+
+    if isinstance(det_cfg, (FCOSConfig, ATSSConfig, PAAConfig)):
+        # all three heads emit (cls, reg, third-branch); only the decode
+        # semantics differ (centerness vs IoU-pred rescoring)
+        if isinstance(det_cfg, PAAConfig):
+            decode3 = decode_paa
+        elif isinstance(det_cfg, ATSSConfig):
+            decode3 = decode_atss
+        else:
+            decode3 = decode_fcos
 
         @jax.jit
         def infer(variables, image, img_shape, scale_factor):

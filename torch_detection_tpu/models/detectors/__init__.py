@@ -14,6 +14,7 @@ from .free_anchor import FreeAnchorConfig, free_anchor_loss
 from .fcos import FCOSConfig, decode_fcos, fcos_loss
 from .foveabox import FoveaConfig, decode_fovea, fovea_loss
 from .atss import ATSSConfig, atss_loss, decode_atss
+from .paa import PAAConfig, decode_paa, paa_loss, paa_reassign
 from .gfl import GFLConfig, decode_gfl, gfl_loss, integral
 from .detr import DETR, DETRConfig, decode_detr, detr_loss
 from .ssd import SSDConfig, decode_ssd, ssd_loss
@@ -80,6 +81,10 @@ __all__ = [
     "ATSSConfig",
     "atss_loss",
     "decode_atss",
+    "PAAConfig",
+    "paa_loss",
+    "decode_paa",
+    "paa_reassign",
     "GFLConfig",
     "decode_gfl",
     "gfl_loss",

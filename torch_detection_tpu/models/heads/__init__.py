@@ -2,7 +2,7 @@ from .anchor_head import RetinaHead, flatten_head_outputs
 from .bbox_head import BBoxHead
 from .fcos_head import FCOSHead
 from .fovea_head import FoveaHead
-from .atss_head import ATSSHead
+from .atss_head import ATSSHead, PAAHead
 from .gfl_head import GFLHead
 from .ssd_head import SSDHead
 from .yolo_head import YOLOV3Head
@@ -14,6 +14,7 @@ __all__ = [
     "CenterNetHead",
     "RetinaHead",
     "ATSSHead",
+    "PAAHead",
     "FoveaHead",
     "GFLHead",
     "flatten_head_outputs",

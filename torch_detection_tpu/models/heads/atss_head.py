@@ -24,3 +24,10 @@ from .fcos_head import FCOSHead
 class ATSSHead(FCOSHead):
     """Same parameter tree as FCOSHead; semantics differ only downstream
     (delta decode in ``models/detectors/atss.py``)."""
+
+
+@HEADS.register_module
+class PAAHead(ATSSHead):
+    """PAA (Kim & Lee, ECCV 2020) shares ATSS's module tree; the third
+    branch is read as an IoU prediction and assignment happens in
+    ``models/detectors/paa.py`` (GMM-split candidate scoring)."""

@@ -65,6 +65,10 @@ def gmm_em_1d(
     ``valid`` anyway.
     """
     x = x.astype(jnp.float32)
+    # sanitize masked entries BEFORE any pdf math: a +-3e38 sentinel in a
+    # padded slot overflows d*d to inf and exp(-inf - logsumexp(-inf)) is
+    # NaN, which the v-mask multiplies as NaN*0 = NaN and poisons the fit
+    x = jnp.where(valid, x, 0.0)
     v = valid.astype(jnp.float32)
     n = jnp.maximum(jnp.sum(v), 1.0)
     big = jnp.float32(1e30)
