@@ -277,3 +277,49 @@ class TestServingExportCenterNet:
                 rtol=1e-5, atol=1e-5,
             )
         assert np.asarray(served["valid"]).sum() > 0
+
+
+def test_paa_roundtrip(tmp_path, rng):
+    """PAA export: the serve fn routes the 3-output head through decode_paa
+    (IoU rescoring + score voting) and the artifact round-trips."""
+    from torch_detection_tpu.models.detectors import PAAConfig
+
+    model = SingleStageDetector(
+        backbone=dict(type="ResNet", depth=18, num_stages=4, out_indices=(1, 2, 3)),
+        neck=dict(
+            type="FPN", in_channels=(128, 256, 512), out_channels=32, num_outs=5,
+            add_extra_convs=True, extra_convs_on_inputs=True,
+            relu_before_extra_convs=True,
+        ),
+        head=dict(type="PAAHead", num_classes=4, in_channels=32,
+                  feat_channels=32, stacked_convs=1),
+    )
+    cfg = PAAConfig(
+        num_classes=4,
+        anchor_generator=AnchorGenerator(
+            strides=(8, 16, 32, 64, 128), ratios=(1.0,),
+            octave_base_scale=8.0, scales_per_octave=1,
+        ),
+        max_detections=10, pre_nms_top_k=100, score_thr=0.0,
+    )
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    exported = export_serving(
+        model, cfg, variables, batch=1, canvas=(64, 64),
+        compute_dtype=jnp.float32,
+    )
+    path = os.path.join(tmp_path, "paa.jaxexp")
+    save_serving(exported, path)
+    img = rng.integers(0, 255, (1, 64, 64, 3)).astype(np.uint8)
+    shp = np.asarray([[64, 64]], np.int32)
+    sf = np.ones((1,), np.float32)
+    served = load_serving(path)(img, shp, sf)
+    direct = make_serving_fn(
+        model, cfg, variables, compute_dtype=jnp.float32
+    )(jnp.asarray(img), jnp.asarray(shp), jnp.asarray(sf))
+    for k in served:
+        np.testing.assert_allclose(
+            np.asarray(served[k], np.float32), np.asarray(direct[k], np.float32),
+            rtol=1e-5, atol=1e-5,
+        )
+    assert np.asarray(served["valid"]).sum() > 0

@@ -212,6 +212,9 @@ def main():
                         help="benchmark every registered backbone + PAFPN")
     parser.add_argument("--e2e-disk", action="store_true",
                         help="disk->detections incl. host (u8 wire)")
+    parser.add_argument("--eval-suite", action="store_true",
+                        help="Mask R-CNN segm eval / segm TTA / sharded-eval "
+                        "throughput through the REAL evaluator on a synthetic set")
     args = parser.parse_args()
 
     import jax
@@ -222,6 +225,9 @@ def main():
         return
     if args.e2e_disk:
         run_disk_e2e(args.batch)
+        return
+    if args.eval_suite:
+        run_eval_suite(args.batch)
         return
 
     from torch_detection_tpu.data.ops.image import (
@@ -758,3 +764,102 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def run_eval_suite(batch: int) -> None:
+    """Throughput of the round-4 eval correctness work, measured through the
+    REAL evaluator (``engine.validate.evaluate_detector``) on a synthetic
+    640x480 set: Mask R-CNN segm eval, segm TTA (2 scales x flip), and the
+    ``--shard-eval`` data-axis path (degenerate on one chip; shards batches
+    over all local devices when there are several).  Numbers measured on
+    1x v5e are recorded in CLAUDE.md's perf log."""
+    import json
+    import tempfile
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from torch_detection_tpu.builder import build_detection_cfg, build_detector
+    from torch_detection_tpu.data import get_datasets
+    from torch_detection_tpu.engine.validate import evaluate_detector
+    from torch_detection_tpu.models.detectors import MaskRCNN, TwoStageDetector
+    from torch_detection_tpu.parallel import make_mesh
+
+    root = tempfile.mkdtemp()
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir)
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    aid = 1
+    n_img = 16
+    for i in range(n_img):
+        img = rng.randint(0, 255, (480, 640, 3), np.uint8)
+        name = f"m{i}.jpg"
+        cv2.imwrite(os.path.join(img_dir, name), img)
+        images.append({"id": i + 1, "file_name": name, "height": 480, "width": 640})
+        for j in range(3):
+            x, y, w, h = 30 + j * 150, 40 + j * 100, 120, 100
+            annotations.append({
+                "id": aid, "image_id": i + 1, "category_id": 1 + (j % 2),
+                "iscrowd": 0, "bbox": [x, y, w, h], "area": w * h,
+                "segmentation": [[x, y, x + w, y, x + w, y + h, x, y + h]],
+            })
+            aid += 1
+    ann_file = os.path.join(root, "ann.json")
+    with open(ann_file, "w") as f:
+        json.dump({"images": images, "annotations": annotations,
+                   "categories": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]}, f)
+
+    model = build_detector(dict(
+        type="MaskRCNN",
+        backbone=dict(type="ResNet", depth=50, num_stages=4, out_indices=(0, 1, 2, 3)),
+        neck=dict(type="FPN", in_channels=(256, 512, 1024, 2048), out_channels=256, num_outs=5),
+        rpn_head=dict(type="RPNHead", in_channels=256, feat_channels=256, num_base_anchors=3),
+        bbox_head=dict(type="BBoxHead", num_classes=80, fc_channels=1024),
+        mask_head=dict(type="FCNMaskHead", num_classes=80, in_channels=256,
+                       conv_channels=256, num_convs=4),
+    ), compute_dtype="bfloat16")
+    det_cfg = build_detection_cfg(dict(style="mask_rcnn", num_classes=80, approx_top_k=True))
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 800, 1216, 3), jnp.float32))
+    roi = jnp.zeros((1, 8, 7, 7, 256), jnp.float32)
+    v2 = model.init(jax.random.PRNGKey(1), roi, method=TwoStageDetector.roi_forward)
+    v3 = model.init(jax.random.PRNGKey(2), roi, method=MaskRCNN.mask_forward)
+    variables = {"params": {**variables["params"], **v2["params"], **v3["params"]},
+                 "batch_stats": variables.get("batch_stats", {})}
+
+    def make_ds(sizes, flip):
+        return get_datasets(dict(
+            type="CocoDataset", ann_file=ann_file, img_prefix=img_dir,
+            img_means=(123.675, 116.28, 103.53), img_stds=(58.395, 57.12, 57.375),
+            img_expected_sizes=sizes, flip_ratio=flip, size_divisor=32,
+            test_mode=True, with_mask=True,
+        ))
+
+    from torch_detection_tpu.engine.validate import make_inference_fn
+
+    infer = make_inference_fn(model, det_cfg, segm=True)
+    mesh = make_mesh(model=1) if len(jax.devices()) > 1 else None
+    rows = [
+        ("segm eval (--segm)", make_ds((1333, 800), 0.0), False, None),
+        ("segm TTA 2-scale x flip (--segm --tta)",
+         make_ds([(1333, 800), (1000, 600)], 0.5), True, None),
+        ("sharded segm eval (--shard-eval)", make_ds((1333, 800), 0.0), False, mesh),
+    ]
+    for name, ds, tta, m in rows:
+        if m is None and name.startswith("sharded") and mesh is None:
+            print(json.dumps({"config": name, "skipped": "single device"}))
+            continue
+        # reuse ONE jitted program (like the Trainer's val hook): a fresh
+        # closure per call would recompile and hide the steady-state number
+        evaluate_detector(model, det_cfg, variables, ds, batch=batch,
+                          canvas=(800, 1216), segm=True, tta=tta, mesh=m,
+                          infer=infer)  # compile
+        t0 = time.perf_counter()
+        evaluate_detector(model, det_cfg, variables, ds, batch=batch,
+                          canvas=(800, 1216), segm=True, tta=tta, mesh=m,
+                          infer=infer)
+        dt = time.perf_counter() - t0
+        print(json.dumps({"config": f"eval-suite: Mask R-CNN {name}",
+                          "images_per_sec": round(n_img / dt, 2)}))

@@ -115,10 +115,13 @@ def make_serving_fn(
 
     from ..models.detectors import FoveaConfig, decode_fovea
 
+    from ..models.detectors import PAAConfig, decode_paa
+
     is_centernet = isinstance(det_cfg, CenterNetConfig)
     is_gfl = isinstance(det_cfg, GFLConfig)
     is_detr = isinstance(det_cfg, DETRConfig)
     is_fovea = isinstance(det_cfg, FoveaConfig)
+    is_paa = isinstance(det_cfg, PAAConfig)
 
     def serve(image_u8, img_shape, scale_factor):
         if s2d_wire:
@@ -145,9 +148,10 @@ def make_serving_fn(
                 det_cfg, model, variables, x,
                 img_shapes=shapes_f, scale_factors=scale_factor,
             )
-        elif is_fcos or is_atss:
+        elif is_fcos or is_atss or is_paa:
             cls, reg, ctr = model.apply(variables, x)
-            decode3 = decode_atss if is_atss else decode_fcos
+            decode3 = (decode_paa if is_paa
+                       else decode_atss if is_atss else decode_fcos)
             d = decode3(
                 det_cfg, cls, reg, ctr,
                 img_shapes=shapes_f, scale_factors=scale_factor,
