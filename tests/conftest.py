@@ -30,8 +30,9 @@ def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running (set TD_RUN_SLOW=1 to include)")
     config.addinivalue_line(
         "markers",
-        "core: fast cross-tier subset (`pytest -m core`, <3 min cold on a "
-        "1-core box) — ops, data, one family per head type, engine, parallel",
+        "core: fast cross-tier subset (`pytest -m core`, measured ~8.5 min "
+        "on a 1-core box, cold == warm) — ops, data, one family per head "
+        "type, engine, parallel",
     )
 
 

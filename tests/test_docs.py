@@ -47,7 +47,11 @@ def test_migrating_family_count_matches_registry():
 
 @pytest.mark.core
 def test_readme_headline_matches_latest_bench():
-    benches = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    def _round_no(p):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    benches = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")), key=_round_no)
     if not benches:
         pytest.skip("no committed BENCH_r*.json")
     parsed = json.load(open(benches[-1])).get("parsed")
