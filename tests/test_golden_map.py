@@ -539,6 +539,31 @@ def test_golden_map_free_anchor(golden):
 
 
 @pytest.mark.slow
+def test_golden_map_sparse_rcnn(golden):
+    from torch_detection_tpu.models.detectors import SparseRCNN, SparseRCNNConfig
+
+    model = SparseRCNN(
+        backbone=dict(type="ResNet", depth=18, num_stages=4,
+                      out_indices=(0, 1, 2, 3)),
+        neck=dict(type="FPN", in_channels=(64, 128, 256, 512),
+                  out_channels=64, num_outs=4),
+        num_proposals=16, num_stages=2, num_classes=2, d_model=64, nhead=4,
+        dim_feedforward=128, dynamic_dim=16, roi_strides=(4, 8, 16, 32),
+    )
+    cfg = SparseRCNNConfig(
+        num_classes=2, num_proposals=16, max_detections=10, score_thr=0.05,
+    )
+    res = _train_and_eval(golden, model, cfg, steps=400, lr=1e-3)
+    # measured fixed-seed: mAP 0.264, mAP_50 0.458 @ 400 steps — the
+    # slowest-converging family on the fixture (set prediction with no
+    # positional prior, like DETR but iterative; 8 proposals measured
+    # WORSE: 0.406).  One-image overfit localizes to ~1 px (probe r5), so
+    # the low score is schedule, not correctness; band sits ~45% below.
+    assert res["mAP_50"] >= 0.25, res
+    assert res["mAP"] >= 0.12, res
+
+
+@pytest.mark.slow
 def test_golden_map_paa(golden):
     from torch_detection_tpu.models.detectors import PAAConfig, SingleStageDetector
     from torch_detection_tpu.ops.anchors import AnchorGenerator

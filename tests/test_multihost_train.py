@@ -1367,6 +1367,47 @@ runtime = dict(work_dir="unused", log_interval=1, mesh=dict(model=1),
         np.testing.assert_allclose(r0[k], sp[k], rtol=2e-4, atol=3e-6, err_msg=k)
 
 
+def test_two_replica_sparse_rcnn_step_matches_single(coco_dataset):
+    """Sparse R-CNN DP parity: per-image Hungarian matching + per-stage
+    RoIAlign over the learnable proposal slate must stay shard-local —
+    the sharded step's loss and post-step params match unsharded."""
+    from torch_detection_tpu.models.detectors import (
+        SparseRCNN,
+        SparseRCNNConfig,
+        sparse_rcnn_loss,
+    )
+
+    model = SparseRCNN(
+        backbone=dict(type="ResNet", depth=18, num_stages=4,
+                      out_indices=(0, 1, 2, 3)),
+        neck=dict(type="FPN", in_channels=(64, 128, 256, 512),
+                  out_channels=32, num_outs=4),
+        num_proposals=8, num_stages=2, num_classes=2, d_model=32, nhead=4,
+        dim_feedforward=64, dynamic_dim=16, roi_strides=(4, 8, 16, 32),
+    )
+    det_cfg = SparseRCNNConfig(num_classes=2, num_proposals=8)
+
+    def loss_fn(params, batch_stats, batch):
+        shapes = batch["img_shape"].astype(jnp.float32)
+        cls, box = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch["image"],
+            img_shapes=shapes, train=True,
+        )
+        losses = sparse_rcnn_loss(
+            det_cfg, cls, box, batch["gt_boxes"], batch["gt_labels"],
+            batch["gt_valid"], img_shapes=shapes,
+        )
+        return losses["loss"], {"loss_cls": losses["loss_cls"]}
+
+    global_batch = _global_batch_from_ranks(
+        coco_dataset, sample_per_replica=2, max_gts=8, canvas=(128, 128),
+    )
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3), jnp.float32)
+    )
+    _dp_parity_check(loss_fn, variables, global_batch)
+
+
 def test_two_replica_paa_step_matches_single(coco_dataset):
     """PAA DP parity: the GMM reassignment (fixed-shape EM vmapped over
     batch x gt) is per-image, so the sharded loss must match unsharded —

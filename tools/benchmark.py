@@ -728,6 +728,37 @@ def main():
     dt = timed(cfg9d, args.iters)
     results.append({"config": "9d: DETR-R50 e2e inference", "images_per_sec": round(B / dt, 2)})
 
+    # ---- bonus: Sparse R-CNN-R50 e2e (learnable proposal slate + 6
+    # dynamic-interaction stages over the Pallas RoIAlign; NMS-free decode —
+    # 158.6 img/s @ b4 measured standalone, here at the shared batch)
+    from torch_detection_tpu.models.detectors import (
+        SparseRCNNConfig,
+        decode_sparse_rcnn,
+    )
+
+    sprcnn = build_detector(dict(
+        type="SparseRCNN",
+        backbone=dict(type="ResNet", depth=50, num_stages=4,
+                      out_indices=(0, 1, 2, 3), norm_cfg=dict(type="FrozenBN")),
+        neck=dict(type="FPN", in_channels=(256, 512, 1024, 2048),
+                  out_channels=256, num_outs=4),
+        num_proposals=100, num_stages=6, num_classes=80,
+    ), compute_dtype="bfloat16")
+    sp_cfg = SparseRCNNConfig(num_classes=80)
+    vars_sp = jax.jit(sprcnn.init)(jax.random.PRNGKey(0), xb0)
+    shp_f = shp.astype(jnp.float32)
+
+    @jax.jit
+    def cfg9s(acc):
+        x = fused_normalize_pad(xu8, shp, out_dtype=jnp.bfloat16)
+        cls, box = sprcnn.apply(vars_sp, x, img_shapes=shp_f)
+        d = decode_sparse_rcnn(sp_cfg, cls, box, img_shapes=shp_f)
+        return acc + jnp.sum(d.scores)
+
+    dt = timed(cfg9s, args.iters)
+    results.append({"config": "9s: Sparse R-CNN-R50 e2e inference",
+                    "images_per_sec": round(B / dt, 2)})
+
     # ---- bonus: YOLOv3-D53 e2e at its canonical 608x608 canvas (own input:
     # the square canvas is the family's convention, not the COCO 800x1216 one)
     from torch_detection_tpu.models.detectors import YOLOV3Config, decode_yolo

@@ -26,7 +26,8 @@ def build_detector(model_cfg: Dict[str, Any], compute_dtype: Optional[str] = Non
         for key in ("backbone", "neck", "head", "rpn_head", "bbox_head"):
             if key in cfg and isinstance(cfg[key], dict):
                 cfg[key].setdefault("dtype", dtype)
-        if cfg.get("type") == "DETR":  # transformer compute dtype is top-level
+        if cfg.get("type") in ("DETR", "SparseRCNN"):
+            # transformer/interaction compute dtype is top-level
             cfg.setdefault("dtype", dtype)
     return DETECTORS.build(cfg)
 
@@ -172,6 +173,18 @@ def build_detection_cfg(det_cfg: Dict[str, Any]):
                 v = cfg[key]
                 kwargs[key] = tuple(v) if isinstance(v, list) else v
         return PAAConfig(**kwargs)
+
+    if style == "sparse_rcnn":
+        from .models.detectors import SparseRCNNConfig
+
+        kwargs = {}
+        for key in ("num_classes", "num_proposals", "cls_weight", "l1_weight",
+                    "giou_weight", "focal_gamma", "focal_alpha", "score_thr",
+                    "max_detections"):
+            if key in cfg:
+                v = cfg[key]
+                kwargs[key] = tuple(v) if isinstance(v, list) else v
+        return SparseRCNNConfig(**kwargs)
 
     if style == "detr":
         from .models.detectors import DETRConfig
@@ -467,6 +480,33 @@ def build_loss_fn(model, det_cfg, rng_seed: int = 0):
                 img_shapes=shapes.astype(jnp.float32), train=True,
             )
             losses = detr_loss(
+                det_cfg, cls, box, batch["gt_boxes"], batch["gt_labels"],
+                batch["gt_valid"], img_shapes=shapes.astype(jnp.float32),
+            )
+            return losses["loss"], {
+                "loss_cls": losses["loss_cls"],
+                "loss_l1": losses["loss_l1"],
+                "loss_giou": losses["loss_giou"],
+                "num_pos": losses["num_pos"],
+            }
+
+        return loss_fn
+
+    from .models.detectors import SparseRCNNConfig, sparse_rcnn_loss
+
+    if isinstance(det_cfg, SparseRCNNConfig):
+        def loss_fn(params, batch_stats, batch):
+            img = batch["image"]
+            shapes = batch.get("img_shape")
+            if shapes is None:
+                shapes = jnp.broadcast_to(
+                    jnp.asarray(img.shape[1:3], jnp.float32), (img.shape[0], 2)
+                )
+            cls, box = model.apply(
+                {"params": params, "batch_stats": batch_stats}, img,
+                img_shapes=shapes.astype(jnp.float32), train=True,
+            )
+            losses = sparse_rcnn_loss(
                 det_cfg, cls, box, batch["gt_boxes"], batch["gt_labels"],
                 batch["gt_valid"], img_shapes=shapes.astype(jnp.float32),
             )

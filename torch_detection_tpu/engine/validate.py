@@ -128,6 +128,20 @@ def make_inference_fn(model, det_cfg, segm: bool = False) -> Callable:
 
         return infer
 
+    from ..models.detectors import SparseRCNNConfig, decode_sparse_rcnn
+
+    if isinstance(det_cfg, SparseRCNNConfig):
+
+        @jax.jit
+        def infer(variables, image, img_shape, scale_factor):
+            cls, box = model.apply(variables, image, img_shapes=img_shape)
+            return decode_sparse_rcnn(
+                det_cfg, cls, box,
+                img_shapes=img_shape, scale_factors=scale_factor,
+            )
+
+        return infer
+
     from ..models.detectors import DETRConfig, decode_detr
 
     if isinstance(det_cfg, DETRConfig):

@@ -25,6 +25,12 @@ from .centernet import (
     centernet_targets,
     decode_centernet,
 )
+from .sparse_rcnn import (
+    SparseRCNN,
+    SparseRCNNConfig,
+    decode_sparse_rcnn,
+    sparse_rcnn_loss,
+)
 from .fast_rcnn import (
     FastRCNN,
     FastRCNNConfig,
@@ -48,6 +54,10 @@ from .mask_rcnn import (
 __all__ = [
     "RetinaNetConfig",
     "SingleStageDetector",
+    "SparseRCNN",
+    "SparseRCNNConfig",
+    "decode_sparse_rcnn",
+    "sparse_rcnn_loss",
     "decode_detections",
     "retina_loss",
     "FreeAnchorConfig",
