@@ -234,6 +234,28 @@ class TestSparseRCNNDetector:
         assert np.isfinite(float(loss))
         assert "loss_giou" in aux
 
+    def test_export_roundtrip(self, tmp_path, rng):
+        import os
+
+        from torch_detection_tpu.engine.export import (
+            export_serving, load_serving, save_serving,
+        )
+
+        m = tiny_sparse_rcnn()
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        vars_ = jax.jit(lambda k, x: m.init(k, x))(jax.random.PRNGKey(0), x)
+        cfg = tiny_cfg(score_thr=0.0, max_detections=8)
+        exported = export_serving(m, cfg, vars_, batch=1, canvas=(64, 64),
+                                  compute_dtype=jnp.float32)
+        path = os.path.join(tmp_path, "sparse_rcnn.jaxexp")
+        save_serving(exported, path)
+        img = rng.integers(0, 255, (1, 64, 64, 3)).astype(np.uint8)
+        served = load_serving(path)(
+            img, np.asarray([[64, 64]], np.int32), np.ones((1,), np.float32)
+        )
+        assert served["boxes"].shape == (1, 8, 4)
+        assert np.asarray(served["valid"]).sum() > 0
+
     def test_inference_fn_route(self, sparse_setup):
         from torch_detection_tpu.engine.validate import make_inference_fn
 

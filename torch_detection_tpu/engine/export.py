@@ -117,6 +117,9 @@ def make_serving_fn(
 
     from ..models.detectors import PAAConfig, decode_paa
 
+    from ..models.detectors import SparseRCNNConfig, decode_sparse_rcnn
+
+    is_sparse_rcnn = isinstance(det_cfg, SparseRCNNConfig)
     is_centernet = isinstance(det_cfg, CenterNetConfig)
     is_gfl = isinstance(det_cfg, GFLConfig)
     is_detr = isinstance(det_cfg, DETRConfig)
@@ -185,6 +188,11 @@ def make_serving_fn(
         elif is_detr:
             cls, box = model.apply(variables, x, img_shapes=shapes_f)
             d = decode_detr(
+                det_cfg, cls, box, img_shapes=shapes_f, scale_factors=scale_factor
+            )
+        elif is_sparse_rcnn:
+            cls, box = model.apply(variables, x, img_shapes=shapes_f)
+            d = decode_sparse_rcnn(
                 det_cfg, cls, box, img_shapes=shapes_f, scale_factors=scale_factor
             )
         else:
