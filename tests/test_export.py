@@ -151,6 +151,53 @@ class TestServingExport:
         assert served["mask_probs"].shape == (1, 8, 14, 14)
         assert np.isfinite(np.asarray(served["mask_probs"])).all()
 
+    def test_cascade_mask_rcnn_roundtrip(self, tmp_path, rng):
+        from torch_detection_tpu.models.detectors import (
+            CascadeMaskRCNN,
+            CascadeMaskRCNNConfig,
+        )
+
+        model = CascadeMaskRCNN(
+            backbone=dict(type="ResNet", depth=18, num_stages=4, out_indices=(0, 1, 2, 3)),
+            neck=dict(type="FPN", in_channels=(64, 128, 256, 512), out_channels=32, num_outs=5),
+            rpn_head=dict(type="RPNHead", in_channels=32, feat_channels=32, num_base_anchors=3),
+            bbox_head=dict(type="BBoxHead", num_classes=4, fc_channels=64),
+            mask_head=dict(type="FCNMaskHead", num_classes=4, in_channels=32,
+                           conv_channels=16, num_convs=1),
+            num_stages=3,
+        )
+        cfg = CascadeMaskRCNNConfig(
+            num_classes=4, max_detections=8, score_thr=0.0,
+            mask_roi_size=7, mask_size=14,
+        )
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        vars_roi = model.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 8, 7, 7, 32), jnp.float32),
+            method=CascadeMaskRCNN.roi_forward_all,
+        )
+        vars_mask = model.init(
+            jax.random.PRNGKey(2), jnp.zeros((1, 8, 7, 7, 32), jnp.float32),
+            method=CascadeMaskRCNN.mask_forward_all,
+        )
+        variables = {
+            "params": {**variables["params"], **vars_roi["params"], **vars_mask["params"]},
+            "batch_stats": variables.get("batch_stats", {}),
+        }
+        exported = export_serving(
+            model, cfg, variables, batch=1, canvas=(64, 64),
+            compute_dtype=jnp.float32,
+        )
+        path = os.path.join(tmp_path, "cmr.jaxexp")
+        save_serving(exported, path)
+        img = rng.integers(0, 255, (1, 64, 64, 3)).astype(np.uint8)
+        served = load_serving(path)(
+            img, np.asarray([[64, 64]], np.int32), np.ones((1,), np.float32)
+        )
+        assert set(served) == {"boxes", "scores", "labels", "valid", "mask_probs"}
+        assert served["mask_probs"].shape == (1, 8, 14, 14)
+        assert np.isfinite(np.asarray(served["mask_probs"])).all()
+
     def test_two_stage_roundtrip(self, tmp_path, rng):
         model = TwoStageDetector(
             backbone=dict(type="ResNet", depth=18, num_stages=4, out_indices=(0, 1, 2, 3)),
@@ -323,3 +370,40 @@ def test_paa_roundtrip(tmp_path, rng):
             rtol=1e-5, atol=1e-5,
         )
     assert np.asarray(served["valid"]).sum() > 0
+
+
+class TestServingExportSOLOV2:
+    def test_solov2_roundtrip(self, tmp_path, rng):
+        from torch_detection_tpu.models.detectors import SOLOV2, SOLOV2Config
+
+        model = SOLOV2(
+            backbone=dict(type="ResNet", depth=18, num_stages=4, out_indices=(0, 1, 2, 3)),
+            neck=dict(type="FPN", in_channels=(64, 128, 256, 512), out_channels=16, num_outs=5),
+            head=dict(type="SOLOV2Head", num_classes=4, in_channels=16, feat_channels=16,
+                      kernel_channels=8, stacked_convs=1, grid_numbers=(12, 10, 8, 6, 4),
+                      norm_groups=4),
+            mask_feat_head=dict(type="MaskFeatHead", in_channels=16, feat_channels=16,
+                                out_channels=8, num_inputs=4, norm_groups=4),
+        )
+        cfg = SOLOV2Config(
+            num_classes=4, grid_numbers=(12, 10, 8, 6, 4),
+            scale_ranges=((1, 32), (16, 48), (32, 64), (48, 96), (64, 256)),
+            pre_nms_top_k=16, max_detections=8, mask_out_size=14,
+            score_thr=0.0, update_thr=0.0,
+        )
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        exported = export_serving(
+            model, cfg, variables, batch=1, canvas=(64, 64),
+            compute_dtype=jnp.float32,
+        )
+        path = os.path.join(tmp_path, "solov2.jaxexp")
+        save_serving(exported, path)
+        img = rng.integers(0, 255, (1, 64, 64, 3)).astype(np.uint8)
+        served = load_serving(path)(
+            img, np.asarray([[64, 64]], np.int32), np.ones((1,), np.float32)
+        )
+        assert set(served) == {"boxes", "scores", "labels", "valid", "mask_probs"}
+        assert served["mask_probs"].shape == (1, 8, 14, 14)
+        assert np.isfinite(np.asarray(served["mask_probs"])).all()

@@ -400,6 +400,66 @@ def test_golden_map_cascade_rcnn(golden):
 
 
 @pytest.mark.slow
+def test_golden_map_cascade_mask_rcnn(golden):
+    from torch_detection_tpu.models.detectors import (
+        CascadeMaskRCNN,
+        CascadeMaskRCNNConfig,
+    )
+    from torch_detection_tpu.models.heads import ProposalConfig
+    from torch_detection_tpu.ops.anchors import AnchorGenerator
+
+    model = CascadeMaskRCNN(
+        backbone=dict(type="ResNet", depth=18, num_stages=4, out_indices=(0, 1, 2, 3)),
+        neck=dict(type="FPN", in_channels=(64, 128, 256, 512), out_channels=16, num_outs=5),
+        rpn_head=dict(type="RPNHead", in_channels=16, feat_channels=16, num_base_anchors=3),
+        bbox_head=dict(type="BBoxHead", num_classes=2, fc_channels=64),
+        mask_head=dict(type="FCNMaskHead", num_classes=2, in_channels=16,
+                       conv_channels=16, num_convs=1),
+        num_stages=3,
+    )
+    cfg = CascadeMaskRCNNConfig(
+        num_classes=2,
+        anchor_generator=AnchorGenerator(
+            strides=(4, 8, 16, 32, 64), ratios=(0.5, 1.0, 2.0),
+            scales=(8.0,), octave_base_scale=None,
+        ),
+        proposal_train=ProposalConfig(pre_nms_per_level=128, post_nms_top_k=64),
+        proposal_test=ProposalConfig(pre_nms_per_level=128, post_nms_top_k=64),
+        rpn_num_samples=64, rcnn_num_samples=32, max_detections=10,
+        mask_roi_size=7, mask_size=14, mask_num_rois=16,
+    )
+
+    def init(model, variables):
+        extra = dict(
+            model.init(
+                jax.random.PRNGKey(1), jnp.zeros((1, 8, 7, 7, 16)),
+                method=CascadeMaskRCNN.roi_forward_all,
+            )["params"]
+        )
+        extra.update(
+            model.init(
+                jax.random.PRNGKey(2), jnp.zeros((1, 8, 7, 7, 16)),
+                method=CascadeMaskRCNN.mask_forward_all,
+            )["params"]
+        )
+        return {
+            "params": {**variables["params"], **extra},
+            "batch_stats": variables.get("batch_stats", {}),
+        }
+
+    res = _train_and_eval(
+        golden, model, cfg, extra_init=init, with_mask=True, steps=400,
+        segm=True,
+    )
+    # fixed-seed r5 run clears all three bands at 400 steps (box bands sit
+    # where the plain-cascade test measured: mAP ~0.9-band sharpening, and
+    # stage-averaged masks clear the same segm band as Mask R-CNN)
+    assert res["mAP_50"] >= 0.5, res
+    assert res["mAP"] >= 0.3, res
+    assert res["segm_mAP_50"] >= 0.3, res
+
+
+@pytest.mark.slow
 def test_golden_map_mask_rcnn(golden):
     from torch_detection_tpu.models.detectors import MaskRCNN, MaskRCNNConfig
     from torch_detection_tpu.models.heads import ProposalConfig
@@ -433,6 +493,36 @@ def test_golden_map_mask_rcnn(golden):
     # mask-IoU band: axis-aligned square gts are easy targets for the 14x14
     # mask head once boxes localize; band sits below bbox (coarse grid)
     assert res["segm_mAP_50"] >= 0.3, res
+
+
+@pytest.mark.slow
+def test_golden_map_solov2(golden):
+    from torch_detection_tpu.models.detectors import SOLOV2, SOLOV2Config
+
+    model = SOLOV2(
+        backbone=dict(type="ResNet", depth=18, num_stages=4, out_indices=(0, 1, 2, 3)),
+        neck=dict(type="FPN", in_channels=(64, 128, 256, 512), out_channels=32, num_outs=5),
+        head=dict(type="SOLOV2Head", num_classes=2, in_channels=32, feat_channels=32,
+                  kernel_channels=16, stacked_convs=2, grid_numbers=(12, 10, 8, 6, 4),
+                  norm_groups=8),
+        mask_feat_head=dict(type="MaskFeatHead", in_channels=32, feat_channels=32,
+                            out_channels=16, num_inputs=4, norm_groups=8),
+    )
+    cfg = SOLOV2Config(
+        num_classes=2, grid_numbers=(12, 10, 8, 6, 4),
+        scale_ranges=((1, 32), (16, 48), (32, 64), (48, 96), (64, 256)),
+        max_pos_cells=64, pre_nms_top_k=32, max_detections=10,
+        mask_out_size=14, score_thr=0.05, update_thr=0.02,
+    )
+    res = _train_and_eval(
+        golden, model, cfg, with_mask=True, steps=400, segm=True,
+    )
+    # box mAP rides mask-extent boxes (stride-4 quantized), so the strict-
+    # threshold average sits below the box families; segm is the family's
+    # native metric.  Measured fixed-seed values are recorded in the assert
+    # failure context of the r5 run that set these bands.
+    assert res["segm_mAP_50"] >= 0.3, res
+    assert res["mAP_50"] >= 0.3, res
 
 
 @pytest.mark.slow

@@ -839,6 +839,135 @@ def test_two_replica_mask_rcnn_step_matches_single(tmp_path):
     _dp_parity_check(loss_fn, variables, global_batch)
 
 
+def test_two_replica_cascade_mask_rcnn_step_matches_single(tmp_path):
+    """Cascade Mask R-CNN DP parity: the per-stage mask tier (positives-
+    first prefix slates + pyramid-routed mask targets, three times over
+    progressively-refined rois) under GSPMD must match the unsharded
+    program."""
+    from torch_detection_tpu.models.detectors import (
+        CascadeMaskRCNN,
+        CascadeMaskRCNNConfig,
+        cascade_mask_rcnn_loss,
+    )
+    from torch_detection_tpu.models.heads import ProposalConfig
+
+    root = str(tmp_path / "cmr")
+    ann_file, img_dir = make_coco(root)
+    dataset = get_datasets(dict(
+        type="CocoDataset", ann_file=ann_file, img_prefix=img_dir,
+        img_means=(0, 0, 0), img_stds=(1, 1, 1), img_expected_sizes=(100, 60),
+        size_divisor=32, flip_ratio=0.0, with_mask=True,
+    ))
+
+    model = CascadeMaskRCNN(
+        backbone=dict(type="ResNet", depth=18, num_stages=4, out_indices=(0, 1, 2, 3)),
+        neck=dict(type="FPN", in_channels=(64, 128, 256, 512), out_channels=16, num_outs=5),
+        rpn_head=dict(type="RPNHead", in_channels=16, feat_channels=16, num_base_anchors=3),
+        bbox_head=dict(type="BBoxHead", num_classes=2, fc_channels=32),
+        mask_head=dict(type="FCNMaskHead", num_classes=2, in_channels=16,
+                       conv_channels=16, num_convs=1),
+        num_stages=3,
+    )
+    det_cfg = CascadeMaskRCNNConfig(
+        num_classes=2,
+        anchor_generator=AnchorGenerator(
+            strides=(4, 8, 16, 32, 64), ratios=(0.5, 1.0, 2.0),
+            scales=(8.0,), octave_base_scale=None,
+        ),
+        proposal_train=ProposalConfig(pre_nms_per_level=64, post_nms_top_k=32),
+        proposal_test=ProposalConfig(pre_nms_per_level=64, post_nms_top_k=32),
+        rpn_num_samples=32,
+        rcnn_num_samples=16,
+        max_detections=8,
+        mask_roi_size=7,
+        mask_size=14,
+        mask_num_rois=8,
+    )
+
+    def loss_fn(params, batch_stats, batch, step=0):
+        variables = {"params": params, "batch_stats": batch_stats}
+        rng = jax.random.fold_in(jax.random.PRNGKey(7), step)
+        losses = cascade_mask_rcnn_loss(det_cfg, model, variables, batch, rng)
+        return losses["loss"], {"loss_s2_mask": losses["loss_s2_mask"]}
+
+    global_batch = _global_batch_from_ranks(
+        dataset, sample_per_replica=2, max_gts=8, canvas=(128, 128),
+    )
+    assert "gt_masks" in global_batch
+
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3), jnp.float32)
+    )
+    roi_feats = jnp.zeros((1, 8, 7, 7, 16), jnp.float32)
+    vars_roi = model.init(
+        jax.random.PRNGKey(1), roi_feats, method=CascadeMaskRCNN.roi_forward_all
+    )
+    vars_mask = model.init(
+        jax.random.PRNGKey(2), roi_feats, method=CascadeMaskRCNN.mask_forward_all
+    )
+    variables = {
+        "params": {**variables["params"], **vars_roi["params"], **vars_mask["params"]},
+        "batch_stats": variables.get("batch_stats", {}),
+    }
+    # same tolerance story as the plain cascade DP test: discrete per-stage
+    # IoU thresholds can flip a handful of roi assignments under GSPMD
+    # reassociation
+    _dp_parity_check(loss_fn, variables, global_batch, rtol=2e-3, atol=5e-4)
+
+
+def test_two_replica_solov2_step_matches_single(tmp_path):
+    """SOLOv2 DP parity: grid-cell targets from per-image mass centers,
+    the positives-first mask slate, and the dynamic-conv matmul under
+    GSPMD must match the unsharded program."""
+    from torch_detection_tpu.models.detectors import (
+        SOLOV2,
+        SOLOV2Config,
+        solov2_loss,
+    )
+
+    root = str(tmp_path / "solo")
+    ann_file, img_dir = make_coco(root)
+    dataset = get_datasets(dict(
+        type="CocoDataset", ann_file=ann_file, img_prefix=img_dir,
+        img_means=(0, 0, 0), img_stds=(1, 1, 1), img_expected_sizes=(100, 60),
+        size_divisor=32, flip_ratio=0.0, with_mask=True,
+    ))
+
+    model = SOLOV2(
+        backbone=dict(type="ResNet", depth=18, num_stages=4, out_indices=(0, 1, 2, 3)),
+        neck=dict(type="FPN", in_channels=(64, 128, 256, 512), out_channels=16, num_outs=5),
+        head=dict(type="SOLOV2Head", num_classes=2, in_channels=16, feat_channels=16,
+                  kernel_channels=8, stacked_convs=1, grid_numbers=(12, 10, 8, 6, 4),
+                  norm_groups=4),
+        mask_feat_head=dict(type="MaskFeatHead", in_channels=16, feat_channels=16,
+                            out_channels=8, num_inputs=4, norm_groups=4),
+    )
+    det_cfg = SOLOV2Config(
+        num_classes=2, grid_numbers=(12, 10, 8, 6, 4),
+        scale_ranges=((1, 48), (24, 96), (48, 128), (96, 192), (128, 512)),
+        max_pos_cells=32, pre_nms_top_k=16, max_detections=8,
+    )
+
+    def loss_fn(params, batch_stats, batch, step=0):
+        variables = {"params": params, "batch_stats": batch_stats}
+        cls, kern, mfeat = model.apply(variables, batch["image"], train=True)
+        losses = solov2_loss(
+            det_cfg, cls, kern, mfeat, batch["gt_boxes"], batch["gt_labels"],
+            batch["gt_valid"], batch["gt_masks"],
+        )
+        return losses["loss"], {"loss_mask": losses["loss_mask"]}
+
+    global_batch = _global_batch_from_ranks(
+        dataset, sample_per_replica=2, max_gts=8, canvas=(128, 128),
+    )
+    assert "gt_masks" in global_batch
+
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3), jnp.float32)
+    )
+    _dp_parity_check(loss_fn, variables, global_batch)
+
+
 def test_fsdp_sharding_rule_specs():
     """The ZeRO rule shards the largest divisible dim of big leaves over
     ``data``, leaves small leaves replicated, and composes with the TP rule."""

@@ -430,12 +430,16 @@ def main():
     }
     xfb = jnp.asarray(rng.normal(size=(fb, *HW, 3)), jnp.bfloat16)
 
+    # weights ride as jit ARGUMENTS, not closure captures: closed-over
+    # device arrays are inlined as module constants, and on the axon tunnel
+    # the serialized compile request then exceeds the remote_compile body
+    # cap (HTTP 413) for two-stage-sized param trees (~90 MB bf16)
     @jax.jit
-    def cfg6(acc):
-        d = faster_rcnn_inference(fr_cfg, frcnn, vars_f, xfb)
+    def cfg6(acc, v, x):
+        d = faster_rcnn_inference(fr_cfg, frcnn, v, x)
         return acc + jnp.sum(d.scores)
 
-    dt = timed(cfg6, args.iters)
+    dt = timed(lambda acc: cfg6(acc, vars_f, xfb), args.iters)
     results.append({"config": "6: Faster R-CNN e2e inference", "images_per_sec": round(fb / dt, 2)})
 
     # ---- bonus: Fast R-CNN (precomputed proposals, no RPN) on a full
@@ -471,11 +475,11 @@ def main():
     pvalid_b = jnp.ones((fb, 1000), bool)
 
     @jax.jit
-    def cfg6f(acc):
-        d = fast_rcnn_inference(fast_cfg, fastr, vars_fa, xfb, props_b, pvalid_b)
+    def cfg6f(acc, v, x):
+        d = fast_rcnn_inference(fast_cfg, fastr, v, x, props_b, pvalid_b)
         return acc + jnp.sum(d.scores)
 
-    dt = timed(cfg6f, args.iters)
+    dt = timed(lambda acc: cfg6f(acc, vars_fa, xfb), args.iters)
     results.append({"config": "6f: Fast R-CNN e2e inference (1000 precomputed rois)", "images_per_sec": round(fb / dt, 2)})
 
     # ---- bonus: CenterNet R18 (NMS-free) at its canonical 512x512 canvas
@@ -544,12 +548,89 @@ def main():
     }
 
     @jax.jit
-    def cfg6c(acc):
-        d = cascade_rcnn_inference(casc_cfg, casc, vars_c, xfb)
+    def cfg6c(acc, v, x):
+        d = cascade_rcnn_inference(casc_cfg, casc, v, x)
         return acc + jnp.sum(d.scores)
 
-    dt = timed(cfg6c, args.iters)
+    dt = timed(lambda acc: cfg6c(acc, vars_c, xfb), args.iters)
     results.append({"config": "6c: Cascade R-CNN e2e inference", "images_per_sec": round(fb / dt, 2)})
+
+    # ---- bonus: Cascade Mask R-CNN e2e (per-stage mask heads averaged on
+    # the final refined boxes; one shared mask RoIAlign)
+    from torch_detection_tpu.models.detectors import (
+        CascadeMaskRCNN,
+        CascadeMaskRCNNConfig,
+        cascade_mask_rcnn_inference,
+    )
+
+    cmr = CascadeMaskRCNN(
+        backbone=dict(type="ResNet", depth=50, num_stages=4, out_indices=(0, 1, 2, 3), dtype=jnp.bfloat16),
+        neck=dict(type="FPN", in_channels=(256, 512, 1024, 2048), out_channels=256, num_outs=5, dtype=jnp.bfloat16),
+        rpn_head=dict(type="RPNHead", in_channels=256, feat_channels=256, num_base_anchors=3, dtype=jnp.bfloat16),
+        bbox_head=dict(type="BBoxHead", num_classes=80, fc_channels=1024, dtype=jnp.bfloat16),
+        mask_head=dict(type="FCNMaskHead", num_classes=80, in_channels=256,
+                       conv_channels=256, num_convs=4, dtype=jnp.bfloat16),
+    )
+    cmr_cfg = CascadeMaskRCNNConfig(
+        num_classes=80, approx_top_k=True,
+        proposal_test=ProposalConfig(
+            pre_nms_per_level=1000, post_nms_top_k=1000, nms_iou_thr=0.7,
+            approx_top_k=True,
+        ),
+    )
+    vars_cm = jax.jit(cmr.init)(jax.random.PRNGKey(0), xf)
+    vars_cm_roi = cmr.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8, 7, 7, 256), jnp.bfloat16),
+        method=CascadeMaskRCNN.roi_forward_all,
+    )
+    vars_cm_mask = cmr.init(
+        jax.random.PRNGKey(2), jnp.zeros((1, 8, 14, 14, 256), jnp.bfloat16),
+        method=CascadeMaskRCNN.mask_forward_all,
+    )
+    vars_cm = {
+        "params": {**vars_cm["params"], **vars_cm_roi["params"],
+                   **vars_cm_mask["params"]},
+        "batch_stats": vars_cm.get("batch_stats", {}),
+    }
+
+    @jax.jit
+    def cfg6cm(acc, v, x):
+        d = cascade_mask_rcnn_inference(cmr_cfg, cmr, v, x)
+        return acc + jnp.sum(d.scores) + jnp.sum(d.mask_probs)
+
+    dt = timed(lambda acc: cfg6cm(acc, vars_cm, xfb), args.iters)
+    results.append({"config": "6cm: Cascade Mask R-CNN e2e inference (boxes + 28x28 masks)", "images_per_sec": round(fb / dt, 2)})
+
+    # ---- bonus: SOLOv2 e2e (box-free instance segmentation; dynamic-conv
+    # mask assembly + Matrix NMS, no RoIAlign and no greedy NMS loop)
+    from torch_detection_tpu.models.detectors import (
+        SOLOV2,
+        SOLOV2Config,
+        decode_solov2,
+    )
+
+    solo = SOLOV2(
+        backbone=dict(type="ResNet", depth=50, num_stages=4, out_indices=(0, 1, 2, 3), dtype=jnp.bfloat16),
+        neck=dict(type="FPN", in_channels=(256, 512, 1024, 2048), out_channels=256, num_outs=5, dtype=jnp.bfloat16),
+        head=dict(type="SOLOV2Head", num_classes=80, in_channels=256, feat_channels=256,
+                  kernel_channels=128, stacked_convs=4, dtype=jnp.bfloat16),
+        mask_feat_head=dict(type="MaskFeatHead", in_channels=256, feat_channels=128,
+                            out_channels=128, num_inputs=4, dtype=jnp.bfloat16),
+    )
+    solo_cfg = SOLOV2Config(num_classes=80)
+    vars_solo = jax.jit(solo.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, *HW, 3), jnp.bfloat16)
+    )
+    xsolo = jnp.asarray(rng.normal(size=(B, *HW, 3)), jnp.bfloat16)
+
+    @jax.jit
+    def cfg6s(acc, v, x):
+        cls, kern, mfeat = solo.apply(v, x)
+        d = decode_solov2(solo_cfg, cls, kern, mfeat)
+        return acc + jnp.sum(d.scores) + jnp.sum(d.mask_probs)
+
+    dt = timed(lambda acc: cfg6s(acc, vars_solo, xsolo), args.iters)
+    results.append({"config": "6s: SOLOv2 e2e inference (masks + Matrix NMS)", "images_per_sec": round(B / dt, 2)})
 
     # ---- bonus: SSD300-VGG16 e2e (the classic consumer of the VGG backbone)
     from torch_detection_tpu.builder import build_detector

@@ -23,7 +23,8 @@ def build_detector(model_cfg: Dict[str, Any], compute_dtype: Optional[str] = Non
     cfg = {k: dict(v) if isinstance(v, dict) else v for k, v in dict(model_cfg).items()}
     if compute_dtype is not None:
         dtype = _DTYPES[compute_dtype]
-        for key in ("backbone", "neck", "head", "rpn_head", "bbox_head"):
+        for key in ("backbone", "neck", "head", "rpn_head", "bbox_head",
+                    "mask_head", "mask_feat_head"):
             if key in cfg and isinstance(cfg[key], dict):
                 cfg[key].setdefault("dtype", dtype)
         if cfg.get("type") in ("DETR", "SparseRCNN"):
@@ -52,15 +53,17 @@ def build_detection_cfg(det_cfg: Dict[str, Any]):
     anchor = dict(cfg.pop("anchor", {}))
     assigner = dict(cfg.pop("assigner", {}))
 
-    if style in ("faster_rcnn", "mask_rcnn", "cascade_rcnn"):
+    if style in ("faster_rcnn", "mask_rcnn", "cascade_rcnn", "cascade_mask_rcnn"):
         from .models.detectors import (
+            CascadeMaskRCNNConfig,
             CascadeRCNNConfig,
             FasterRCNNConfig,
             MaskRCNNConfig,
         )
 
         cls = {"faster_rcnn": FasterRCNNConfig, "mask_rcnn": MaskRCNNConfig,
-               "cascade_rcnn": CascadeRCNNConfig}[style]
+               "cascade_rcnn": CascadeRCNNConfig,
+               "cascade_mask_rcnn": CascadeMaskRCNNConfig}[style]
         kwargs: Dict[str, Any] = {}
         if anchor:
             kwargs["anchor_generator"] = _build_anchor_generator(anchor)
@@ -68,15 +71,15 @@ def build_detection_cfg(det_cfg: Dict[str, Any]):
                 "roi_size", "finest_scale", "rpn_num_samples",
                 "rcnn_num_samples", "rcnn_pos_fraction", "smooth_l1_beta",
                 "approx_top_k"]
-        if style == "mask_rcnn":
+        if style in ("mask_rcnn", "cascade_mask_rcnn"):
             keys += ["mask_size", "mask_roi_size", "mask_loss_weight"]
-        if style == "cascade_rcnn":
+        if style in ("cascade_rcnn", "cascade_mask_rcnn"):
             keys += ["num_stages", "stage_pos_ious", "stage_loss_weights"]
         for key in keys:
             if key in cfg:
                 v = cfg[key]
                 kwargs[key] = tuple(v) if isinstance(v, list) else v
-        if style == "cascade_rcnn" and "stage_target_stds" in cfg:
+        if style in ("cascade_rcnn", "cascade_mask_rcnn") and "stage_target_stds" in cfg:
             kwargs["stage_target_stds"] = tuple(
                 tuple(s) for s in cfg["stage_target_stds"]
             )
@@ -240,6 +243,22 @@ def build_detection_cfg(det_cfg: Dict[str, Any]):
                 kwargs[key] = tuple(v) if isinstance(v, list) else v
         return YOLOV3Config(**kwargs)
 
+    if style == "solov2":
+        from .models.detectors import SOLOV2Config
+
+        kwargs = {}
+        for key in ("num_classes", "grid_numbers", "scale_ranges", "sigma",
+                    "mask_stride", "focal_gamma", "focal_alpha", "dice_weight",
+                    "max_pos_cells", "score_thr", "update_thr", "mask_thr",
+                    "pre_nms_top_k", "max_detections", "nms_method",
+                    "nms_sigma", "mask_out_size", "approx_top_k"):
+            if key in cfg:
+                v = cfg[key]
+                if key == "scale_ranges":
+                    v = tuple(tuple(r) for r in v)
+                kwargs[key] = tuple(v) if isinstance(v, list) else v
+        return SOLOV2Config(**kwargs)
+
     if style == "centernet":
         from .models.detectors import CenterNetConfig
 
@@ -341,7 +360,17 @@ def init_detector_variables(model, det_cfg, model_cfg, sample_image, seed: int =
         method=roi_method,
     )
     extra_params = dict(vars2["params"])
-    if isinstance(model, MaskRCNN):
+    from .models.detectors import CascadeMaskRCNN
+
+    if isinstance(model, CascadeMaskRCNN):
+        mask_roi = getattr(det_cfg, "mask_roi_size", 14)
+        vars3 = model.init(
+            jax.random.PRNGKey(seed + 2),
+            jnp.zeros((1, 8, mask_roi, mask_roi, feat_ch), jnp.float32),
+            method=CascadeMaskRCNN.mask_forward_all,
+        )
+        extra_params.update(vars3["params"])
+    elif isinstance(model, MaskRCNN):
         mask_roi = getattr(det_cfg, "mask_roi_size", 14)
         vars3 = model.init(
             jax.random.PRNGKey(seed + 2),
@@ -361,10 +390,12 @@ def build_loss_fn(model, det_cfg, rng_seed: int = 0):
     import jax
 
     from .models.detectors import (
+        CascadeMaskRCNNConfig,
         CascadeRCNNConfig,
         FasterRCNNConfig,
         MaskRCNNConfig,
         TwoStageDetector,
+        cascade_mask_rcnn_loss,
         cascade_rcnn_loss,
         faster_rcnn_loss,
         mask_rcnn_loss,
@@ -376,6 +407,17 @@ def build_loss_fn(model, det_cfg, rng_seed: int = 0):
         # capping and negative sampling draw a fresh stream every step;
         # a fixed PRNGKey here would freeze the sampling pattern for the run
         return jax.random.fold_in(jax.random.PRNGKey(rng_seed), step)
+
+    if isinstance(det_cfg, CascadeMaskRCNNConfig):
+        def loss_fn(params, batch_stats, batch, step=0):
+            variables = {"params": params, "batch_stats": batch_stats}
+            losses = cascade_mask_rcnn_loss(
+                det_cfg, model, variables, batch, _step_rng(step)
+            )
+            aux = {k: v for k, v in losses.items() if k != "loss"}
+            return losses["loss"], aux
+
+        return loss_fn
 
     if isinstance(det_cfg, CascadeRCNNConfig):
         def loss_fn(params, batch_stats, batch, step=0):
@@ -440,6 +482,25 @@ def build_loss_fn(model, det_cfg, rng_seed: int = 0):
                 "loss_wh": losses["loss_wh"],
                 "loss_conf": losses["loss_conf"],
                 "loss_cls": losses["loss_cls"],
+                "num_pos": losses["num_pos"],
+            }
+
+        return loss_fn
+
+    from .models.detectors import SOLOV2Config, solov2_loss
+
+    if isinstance(det_cfg, SOLOV2Config):
+        def loss_fn(params, batch_stats, batch):
+            cls, kern, mfeat = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch["image"], train=True
+            )
+            losses = solov2_loss(
+                det_cfg, cls, kern, mfeat, batch["gt_boxes"], batch["gt_labels"],
+                batch["gt_valid"], batch["gt_masks"],
+            )
+            return losses["loss"], {
+                "loss_cls": losses["loss_cls"],
+                "loss_mask": losses["loss_mask"],
                 "num_pos": losses["num_pos"],
             }
 

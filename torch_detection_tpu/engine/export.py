@@ -86,11 +86,13 @@ def make_serving_fn(
     original coordinates."""
     from ..models.detectors import (
         ATSSConfig,
+        CascadeMaskRCNN,
         CascadeRCNNConfig,
         FasterRCNNConfig,
         FCOSConfig,
         MaskRCNN,
         SSDConfig,
+        cascade_mask_rcnn_inference,
         cascade_rcnn_inference,
         decode_atss,
         decode_detections,
@@ -102,8 +104,12 @@ def make_serving_fn(
     )
     from ..models.detectors import YOLOV3Config
 
-    is_cascade = isinstance(det_cfg, CascadeRCNNConfig)
-    is_two_stage = isinstance(det_cfg, FasterRCNNConfig) and not is_cascade
+    is_cascade_mask = isinstance(model, CascadeMaskRCNN)
+    is_cascade = isinstance(det_cfg, CascadeRCNNConfig) and not is_cascade_mask
+    is_two_stage = (
+        isinstance(det_cfg, FasterRCNNConfig)
+        and not is_cascade and not is_cascade_mask
+    )
     is_mask = isinstance(model, MaskRCNN)
     is_ssd = isinstance(det_cfg, SSDConfig)
     is_fcos = isinstance(det_cfg, FCOSConfig)
@@ -119,6 +125,9 @@ def make_serving_fn(
 
     from ..models.detectors import SparseRCNNConfig, decode_sparse_rcnn
 
+    from ..models.detectors import SOLOV2Config, decode_solov2
+
+    is_solo = isinstance(det_cfg, SOLOV2Config)
     is_sparse_rcnn = isinstance(det_cfg, SparseRCNNConfig)
     is_centernet = isinstance(det_cfg, CenterNetConfig)
     is_gfl = isinstance(det_cfg, GFLConfig)
@@ -132,6 +141,25 @@ def make_serving_fn(
         else:
             x = _normalize_pad(image_u8, img_shape, mean, std, compute_dtype)
         shapes_f = img_shape.astype(jnp.float32)
+        if is_solo:
+            cls, kern, mfeat = model.apply(variables, x)
+            d = decode_solov2(
+                det_cfg, cls, kern, mfeat,
+                img_shapes=shapes_f, scale_factors=scale_factor,
+            )
+            return {
+                "boxes": d.boxes, "scores": d.scores, "labels": d.labels,
+                "valid": d.valid, "mask_probs": d.mask_probs,
+            }
+        if is_cascade_mask:
+            d = cascade_mask_rcnn_inference(
+                det_cfg, model, variables, x,
+                img_shapes=shapes_f, scale_factors=scale_factor,
+            )
+            return {
+                "boxes": d.boxes, "scores": d.scores, "labels": d.labels,
+                "valid": d.valid, "mask_probs": d.mask_probs,
+            }
         if is_mask:
             d = mask_rcnn_inference(
                 det_cfg, model, variables, x,

@@ -34,12 +34,42 @@ def make_inference_fn(model, det_cfg, segm: bool = False) -> Callable:
     import jax
 
     if segm:
-        from ..models.detectors import MaskRCNNConfig, mask_rcnn_inference
+        from ..models.detectors import (
+            CascadeMaskRCNNConfig,
+            MaskRCNNConfig,
+            SOLOV2Config,
+            cascade_mask_rcnn_inference,
+            decode_solov2,
+            mask_rcnn_inference,
+        )
+
+        if isinstance(det_cfg, SOLOV2Config):
+
+            @jax.jit
+            def infer(variables, image, img_shape, scale_factor):
+                cls, kern, mfeat = model.apply(variables, image)
+                return decode_solov2(
+                    det_cfg, cls, kern, mfeat,
+                    img_shapes=img_shape, scale_factors=scale_factor,
+                )
+
+            return infer
+
+        if isinstance(det_cfg, CascadeMaskRCNNConfig):
+
+            @jax.jit
+            def infer(variables, image, img_shape, scale_factor):
+                return cascade_mask_rcnn_inference(
+                    det_cfg, model, variables, image,
+                    img_shapes=img_shape, scale_factors=scale_factor,
+                )
+
+            return infer
 
         if not isinstance(det_cfg, MaskRCNNConfig):
             raise ValueError(
-                "segm=True needs a mask-capable detector (MaskRCNNConfig); "
-                f"got {type(det_cfg).__name__}"
+                "segm=True needs a mask-capable detector (MaskRCNNConfig or "
+                f"CascadeMaskRCNNConfig); got {type(det_cfg).__name__}"
             )
 
         @jax.jit
@@ -64,6 +94,23 @@ def make_inference_fn(model, det_cfg, segm: bool = False) -> Callable:
         decode_ssd,
         faster_rcnn_inference,
     )
+    from ..models.detectors import SOLOV2Config, decode_solov2
+    from ..ops.nms import NMSResult as _NMSResult
+
+    if isinstance(det_cfg, SOLOV2Config):
+        # box-mAP eval of a box-free family: boxes come from mask extents
+
+        @jax.jit
+        def infer(variables, image, img_shape, scale_factor):
+            cls, kern, mfeat = model.apply(variables, image)
+            d = decode_solov2(
+                det_cfg, cls, kern, mfeat,
+                img_shapes=img_shape, scale_factors=scale_factor,
+            )
+            return _NMSResult(d.boxes, d.scores, d.labels, d.valid, None)
+
+        return infer
+
     from ..models.detectors import YOLOV3Config, decode_yolo
 
     if isinstance(det_cfg, YOLOV3Config):

@@ -25,6 +25,13 @@ from .centernet import (
     centernet_targets,
     decode_centernet,
 )
+from .solov2 import (
+    SOLOV2,
+    SOLOV2Config,
+    decode_solov2,
+    solov2_loss,
+    solov2_targets,
+)
 from .sparse_rcnn import (
     SparseRCNN,
     SparseRCNNConfig,
@@ -36,6 +43,12 @@ from .fast_rcnn import (
     FastRCNNConfig,
     fast_rcnn_inference,
     fast_rcnn_loss,
+)
+from .cascade_mask_rcnn import (
+    CascadeMaskRCNN,
+    CascadeMaskRCNNConfig,
+    cascade_mask_rcnn_inference,
+    cascade_mask_rcnn_loss,
 )
 from .cascade_rcnn import (
     CascadeRCNN,
@@ -54,6 +67,11 @@ from .mask_rcnn import (
 __all__ = [
     "RetinaNetConfig",
     "SingleStageDetector",
+    "SOLOV2",
+    "SOLOV2Config",
+    "decode_solov2",
+    "solov2_loss",
+    "solov2_targets",
     "SparseRCNN",
     "SparseRCNNConfig",
     "decode_sparse_rcnn",
@@ -67,6 +85,10 @@ __all__ = [
     "FastRCNNConfig",
     "fast_rcnn_inference",
     "fast_rcnn_loss",
+    "CascadeMaskRCNN",
+    "CascadeMaskRCNNConfig",
+    "cascade_mask_rcnn_inference",
+    "cascade_mask_rcnn_loss",
     "CascadeRCNN",
     "CascadeRCNNConfig",
     "cascade_rcnn_inference",

@@ -133,6 +133,32 @@ def cascade_rcnn_loss(
     train: bool = True,
 ) -> Dict[str, jax.Array]:
     """RPN loss + ``num_stages`` cascaded RoI stage losses, one pure fn."""
+    losses, _, _ = _cascade_rcnn_loss_core(cfg, model, variables, batch, rng, train)
+    return losses
+
+
+def _cascade_rcnn_loss_core(
+    cfg: CascadeRCNNConfig,
+    model: CascadeRCNN,
+    variables: Dict,
+    batch: Dict[str, jax.Array],
+    rng: jax.Array,
+    train: bool = True,
+):
+    """Cascade loss computation that also returns ``(feats, stage_slates)``.
+
+    Loss extensions (Cascade Mask R-CNN's per-stage mask tier) MUST reuse
+    this traced forward and the per-stage sampled slates: re-applying the
+    model in an extension is forward-CSE'd by XLA but JAX emits a second
+    independent backbone+FPN backward for the extension's cotangents (the
+    round-4 Mask R-CNN lesson, ``two_stage._faster_rcnn_loss_core``).
+
+    ``stage_slates[t]`` is a dict of the stage-t sampled slate: ``rois``
+    (B, R, 4), ``labels`` (B, R) 1-based, ``is_pos`` (B, R) bool,
+    ``matched_gt`` (B, R) int32 clipped gt index.  ``_sample_fixed`` orders
+    the slate by descending priority, so positives occupy a prefix block —
+    a mask tier can slice ``[:, :mask_num]`` and keep every positive.
+    """
     images = batch["image"]
     gt_boxes = batch["gt_boxes"]  # (B, G, 4)
     gt_labels = batch["gt_labels"]  # (B, G)
@@ -170,6 +196,7 @@ def cascade_rcnn_loss(
 
     boxes, box_valid = proposals.boxes, proposals.valid  # (B, P, 4), (B, P)
     num_pos_final = None
+    stage_slates = []
     roi_levels = list(feats[: len(cfg.roi_strides)])
     for t in range(cfg.num_stages):
         assigner = cfg.stage_assigner(t)
@@ -194,11 +221,14 @@ def cascade_rcnn_loss(
             matched = gt_boxes[i][safe_gt]
             reg_t = bbox2delta(rois, matched, cfg.rcnn_target_means, stds)
             from_gt = idx >= n_cand  # sampled out of the appended gt block
-            return rois, labels, reg_t, is_pos, is_valid, from_gt
+            return rois, labels, reg_t, is_pos, is_valid, from_gt, safe_gt
 
-        rois, roi_labels, roi_reg_t, roi_pos, roi_valid, roi_from_gt = jax.vmap(
-            sample_one
-        )(jnp.arange(b))
+        (rois, roi_labels, roi_reg_t, roi_pos, roi_valid, roi_from_gt,
+         roi_matched) = jax.vmap(sample_one)(jnp.arange(b))
+        stage_slates.append({
+            "rois": rois, "labels": roi_labels, "is_pos": roi_pos,
+            "matched_gt": roi_matched,
+        })
 
         roi_feats = batched_multilevel_roi_align(
             roi_levels, rois, cfg.roi_strides, cfg.roi_size,
@@ -238,7 +268,7 @@ def cascade_rcnn_loss(
 
     losses["loss"] = total
     losses["num_pos_rois"] = num_pos_final
-    return losses
+    return losses, feats, stage_slates
 
 
 def cascade_rcnn_inference(

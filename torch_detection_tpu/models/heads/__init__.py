@@ -30,3 +30,6 @@ from .mask_head import (  # noqa: E402
 )
 
 __all__ += ["FCNMaskHead", "mask_loss", "mask_targets_for_rois", "paste_masks", "paste_masks_np"]
+from .solov2_head import MaskFeatHead, SOLOV2Head  # noqa: E402
+
+__all__ += ["MaskFeatHead", "SOLOV2Head"]

@@ -180,3 +180,23 @@ def iou_loss(
         giou = iou - (enclose - union) / enclose
         loss = 1.0 - giou
     return _reduce(loss, weight, avg_factor)
+
+
+def dice_loss(
+    probs: jnp.ndarray,  # (..., M) predicted probabilities (already sigmoid)
+    targets: jnp.ndarray,  # (..., M) binary targets
+    weight: Optional[jnp.ndarray] = None,  # (...,) per-instance weight
+    eps: float = 1e-3,
+    avg_factor: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Dice loss over the last axis (the SOLO mask objective).
+
+    ``1 - 2*sum(p*t) / (sum(p^2) + sum(t^2))`` per instance (the SOLO
+    formulation: squared denominators, eps in numerator and denominator),
+    reduced like the other losses via ``weight``/``avg_factor``.
+    """
+    probs = probs.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
+    num = 2.0 * jnp.sum(probs * targets, axis=-1) + eps
+    den = jnp.sum(probs * probs, axis=-1) + jnp.sum(targets * targets, axis=-1) + eps
+    return _reduce(1.0 - num / den, weight, avg_factor)

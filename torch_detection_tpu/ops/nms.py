@@ -307,3 +307,53 @@ def multiclass_soft_nms(
     out_l = jnp.where(out_v, cls_idx[picked], -1)
     out_i = jnp.where(out_v, box_idx[picked].astype(jnp.int32), -1)
     return NMSResult(out_b, out_s, out_l, out_v, out_i)
+
+
+def mask_iou_matrix(masks: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Pairwise IoU of (K, M) binarized masks as two matmuls -> (K, K) f32.
+
+    ``inter = m @ m.T``; union from the per-mask areas.  Pure MXU work —
+    this is what makes Matrix NMS essentially free on TPU.
+    """
+    m = masks.astype(jnp.float32)
+    inter = m @ m.T  # (K, K)
+    areas = jnp.sum(m, axis=-1)
+    union = areas[:, None] + areas[None, :] - inter
+    return inter / jnp.maximum(union, eps)
+
+
+def matrix_nms(
+    masks: jnp.ndarray,  # (K, M) binarized masks, already score-DESC sorted
+    labels: jnp.ndarray,  # (K,) int32 class ids
+    scores: jnp.ndarray,  # (K,) descending
+    valid: jnp.ndarray,  # (K,) bool
+    method: str = "gauss",
+    sigma: float = 2.0,
+) -> jnp.ndarray:
+    """SOLO Matrix NMS: decayed scores, no sequential suppression loop.
+
+    Candidate b is decayed by ``min_a f(iou_ab) / f(comp_a)`` over all
+    higher-ranked same-class a, where ``comp_a = max_k iou_ka`` over a's own
+    higher-ranked same-class k (the compensation term) and ``f`` is
+    ``exp(-sigma * iou^2)`` (gauss, the official code's form) or
+    ``1 - iou`` (linear).  Wang et al., SOLOv2 (NeurIPS 2020) eq. (4) —
+    entirely matmul/elementwise, unlike greedy NMS's data-dependent loop.
+
+    Inputs must be sorted by descending score (the decode path's top-k
+    already yields that order).  Returns the decayed scores (K,).
+    """
+    iou = mask_iou_matrix(masks)
+    k = masks.shape[0]
+    same = (labels[:, None] == labels[None, :]) & valid[:, None] & valid[None, :]
+    # dom[a, b]: a ranked strictly above b (triu(diagonal=1)), same class
+    dom = same & (jnp.arange(k)[:, None] < jnp.arange(k)[None, :])
+    iou_d = jnp.where(dom, iou, 0.0)  # (a, b)
+    # compensation per index as the DOMINATED one: its max iou with any
+    # higher-ranked same-class mask (official: (iou*label).triu(1).max(0))
+    comp = jnp.max(iou_d, axis=0)  # (k,)
+    if method == "gauss":
+        decay = jnp.exp(-sigma * (iou_d**2 - comp[:, None] ** 2))
+    else:
+        decay = (1.0 - iou_d) / jnp.maximum(1.0 - comp[:, None], 1e-6)
+    decay = jnp.where(dom, decay, 1.0)
+    return scores * jnp.min(decay, axis=0)
