@@ -407,3 +407,35 @@ class TestServingExportSOLOV2:
         assert set(served) == {"boxes", "scores", "labels", "valid", "mask_probs"}
         assert served["mask_probs"].shape == (1, 8, 14, 14)
         assert np.isfinite(np.asarray(served["mask_probs"])).all()
+
+
+class TestServingExportYOLOX:
+    def test_yolox_roundtrip(self, tmp_path, rng):
+        from torch_detection_tpu.models.detectors import YOLOXConfig
+
+        model = SingleStageDetector(
+            backbone=dict(type="CSPDarknet", deepen_factor=0.33,
+                          widen_factor=0.125, out_indices=(2, 3, 4)),
+            neck=dict(type="YOLOXPAFPN", in_channels=(32, 64, 128),
+                      out_channels=32, num_csp_blocks=1),
+            head=dict(type="YOLOXHead", num_classes=4, in_channels=32,
+                      feat_channels=32, stacked_convs=1),
+        )
+        cfg = YOLOXConfig(num_classes=4, max_detections=8, pre_nms_top_k=64,
+                          score_thr=0.0)
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
+        )
+        exported = export_serving(
+            model, cfg, variables, batch=1, canvas=(64, 64),
+            compute_dtype=jnp.float32,
+        )
+        path = os.path.join(tmp_path, "yolox.jaxexp")
+        save_serving(exported, path)
+        img = rng.integers(0, 255, (1, 64, 64, 3)).astype(np.uint8)
+        served = load_serving(path)(
+            img, np.asarray([[64, 64]], np.int32), np.ones((1,), np.float32)
+        )
+        assert set(served) == {"boxes", "scores", "labels", "valid"}
+        assert served["boxes"].shape == (1, 8, 4)
+        assert np.asarray(served["valid"]).sum() > 0  # score_thr=0

@@ -496,6 +496,30 @@ def test_golden_map_mask_rcnn(golden):
 
 
 @pytest.mark.slow
+def test_golden_map_yolox(golden):
+    from torch_detection_tpu.models.detectors import (
+        SingleStageDetector,
+        YOLOXConfig,
+    )
+
+    model = SingleStageDetector(
+        backbone=dict(type="CSPDarknet", deepen_factor=0.33, widen_factor=0.25,
+                      out_indices=(2, 3, 4)),
+        neck=dict(type="YOLOXPAFPN", in_channels=(64, 128, 256), out_channels=64,
+                  num_csp_blocks=1),
+        head=dict(type="YOLOXHead", num_classes=2, in_channels=64,
+                  feat_channels=64, stacked_convs=1),
+    )
+    cfg = YOLOXConfig(num_classes=2, max_detections=10, pre_nms_top_k=100,
+                      score_thr=0.01)
+    res = _train_and_eval(golden, model, cfg, steps=400)
+    # measured fixed-seed r5: see assert context; SimOTA converges on the
+    # squares fixture like the other single-stage families
+    assert res["mAP_50"] >= 0.5, res
+    assert res["mAP"] >= 0.3, res
+
+
+@pytest.mark.slow
 def test_golden_map_solov2(golden):
     from torch_detection_tpu.models.detectors import SOLOV2, SOLOV2Config
 

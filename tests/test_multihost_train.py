@@ -915,6 +915,51 @@ def test_two_replica_cascade_mask_rcnn_step_matches_single(tmp_path):
     _dp_parity_check(loss_fn, variables, global_batch, rtol=2e-3, atol=5e-4)
 
 
+def test_two_replica_yolox_step_matches_single(coco_dataset):
+    """YOLOX DP parity: SimOTA's per-image dynamic-k selection (top-k over
+    the cost matrix + threshold compare) under GSPMD must match the
+    unsharded program."""
+    from torch_detection_tpu.models.detectors import (
+        SingleStageDetector,
+        YOLOXConfig,
+        yolox_loss,
+    )
+
+    model = SingleStageDetector(
+        backbone=dict(type="CSPDarknet", deepen_factor=0.33, widen_factor=0.125,
+                      out_indices=(2, 3, 4)),
+        neck=dict(type="YOLOXPAFPN", in_channels=(32, 64, 128), out_channels=32,
+                  num_csp_blocks=1),
+        head=dict(type="YOLOXHead", num_classes=2, in_channels=32,
+                  feat_channels=32, stacked_convs=1),
+    )
+    det_cfg = YOLOXConfig(num_classes=2, max_detections=8)
+
+    def loss_fn(params, batch_stats, batch):
+        cls, reg, obj = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch["image"],
+            train=True,
+        )
+        losses = yolox_loss(
+            det_cfg, cls, reg, obj, batch["gt_boxes"], batch["gt_labels"],
+            batch["gt_valid"],
+        )
+        return losses["loss"], {"loss_obj": losses["loss_obj"]}
+
+    local = []
+    for rank in (0, 1):
+        batch = next(iter(_replica_loader(coco_dataset, rank)))
+        batch.pop("img_meta", None)
+        local.append(batch)
+    global_batch = {
+        k: np.concatenate([local[0][k], local[1][k]]) for k in local[0]
+    }
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3), jnp.float32)
+    )
+    _dp_parity_check(loss_fn, variables, global_batch)
+
+
 def test_two_replica_solov2_step_matches_single(tmp_path):
     """SOLOv2 DP parity: grid-cell targets from per-image mass centers,
     the positives-first mask slate, and the dynamic-conv matmul under

@@ -601,6 +601,34 @@ def main():
     dt = timed(lambda acc: cfg6cm(acc, vars_cm, xfb), args.iters)
     results.append({"config": "6cm: Cascade Mask R-CNN e2e inference (boxes + 28x28 masks)", "images_per_sec": round(fb / dt, 2)})
 
+    # ---- bonus: YOLOX-s e2e at its canonical 640x640 canvas (the fastest
+    # family: small CSP trunk + 8400-prior decode)
+    from torch_detection_tpu.models.detectors import YOLOXConfig, decode_yolox
+
+    yx = build_detector(dict(
+        type="SingleStageDetector",
+        backbone=dict(type="CSPDarknet", deepen_factor=0.33, widen_factor=0.5,
+                      out_indices=(2, 3, 4)),
+        neck=dict(type="YOLOXPAFPN", in_channels=(128, 256, 512),
+                  out_channels=128, num_csp_blocks=1),
+        head=dict(type="YOLOXHead", num_classes=80, in_channels=128,
+                  feat_channels=128, stacked_convs=2),
+    ), compute_dtype="bfloat16")
+    yx_cfg = YOLOXConfig(num_classes=80, approx_top_k=True)
+    yx_hw = (640, 640)
+    vars_yx = jax.jit(yx.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, *yx_hw, 3), jnp.bfloat16))
+    x_yx = jnp.asarray(rng.normal(size=(B, *yx_hw, 3)), jnp.bfloat16)
+
+    @jax.jit
+    def cfg6yx(acc, v, x):
+        cls, reg, obj = yx.apply(v, x)
+        d = decode_yolox(yx_cfg, cls, reg, obj)
+        return acc + jnp.sum(d.scores)
+
+    dt = timed(lambda acc: cfg6yx(acc, vars_yx, x_yx), args.iters)
+    results.append({"config": "6yx: YOLOX-s e2e inference (640x640)", "images_per_sec": round(B / dt, 2)})
+
     # ---- bonus: SOLOv2 e2e (box-free instance segmentation; dynamic-conv
     # mask assembly + Matrix NMS, no RoIAlign and no greedy NMS loop)
     from torch_detection_tpu.models.detectors import (

@@ -243,6 +243,19 @@ def build_detection_cfg(det_cfg: Dict[str, Any]):
                 kwargs[key] = tuple(v) if isinstance(v, list) else v
         return YOLOV3Config(**kwargs)
 
+    if style == "yolox":
+        from .models.detectors import YOLOXConfig
+
+        kwargs = {}
+        for key in ("num_classes", "strides", "center_radius", "candidate_topk",
+                    "iou_cost_weight", "reg_loss_weight", "use_l1", "score_thr",
+                    "nms_iou_thr", "pre_nms_top_k", "max_detections",
+                    "approx_top_k"):
+            if key in cfg:
+                v = cfg[key]
+                kwargs[key] = tuple(v) if isinstance(v, list) else v
+        return YOLOXConfig(**kwargs)
+
     if style == "solov2":
         from .models.detectors import SOLOV2Config
 
@@ -482,6 +495,26 @@ def build_loss_fn(model, det_cfg, rng_seed: int = 0):
                 "loss_wh": losses["loss_wh"],
                 "loss_conf": losses["loss_conf"],
                 "loss_cls": losses["loss_cls"],
+                "num_pos": losses["num_pos"],
+            }
+
+        return loss_fn
+
+    from .models.detectors import YOLOXConfig, yolox_loss
+
+    if isinstance(det_cfg, YOLOXConfig):
+        def loss_fn(params, batch_stats, batch):
+            cls, reg, obj = model.apply(
+                {"params": params, "batch_stats": batch_stats}, batch["image"], train=True
+            )
+            losses = yolox_loss(
+                det_cfg, cls, reg, obj, batch["gt_boxes"], batch["gt_labels"],
+                batch["gt_valid"],
+            )
+            return losses["loss"], {
+                "loss_cls": losses["loss_cls"],
+                "loss_reg": losses["loss_reg"],
+                "loss_obj": losses["loss_obj"],
                 "num_pos": losses["num_pos"],
             }
 

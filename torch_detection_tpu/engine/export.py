@@ -126,7 +126,9 @@ def make_serving_fn(
     from ..models.detectors import SparseRCNNConfig, decode_sparse_rcnn
 
     from ..models.detectors import SOLOV2Config, decode_solov2
+    from ..models.detectors import YOLOXConfig, decode_yolox
 
+    is_yolox = isinstance(det_cfg, YOLOXConfig)
     is_solo = isinstance(det_cfg, SOLOV2Config)
     is_sparse_rcnn = isinstance(det_cfg, SparseRCNNConfig)
     is_centernet = isinstance(det_cfg, CenterNetConfig)
@@ -141,6 +143,16 @@ def make_serving_fn(
         else:
             x = _normalize_pad(image_u8, img_shape, mean, std, compute_dtype)
         shapes_f = img_shape.astype(jnp.float32)
+        if is_yolox:
+            cls, reg, obj = model.apply(variables, x)
+            d = decode_yolox(
+                det_cfg, cls, reg, obj,
+                img_shapes=shapes_f, scale_factors=scale_factor,
+            )
+            return {
+                "boxes": d.boxes, "scores": d.scores, "labels": d.labels,
+                "valid": d.valid,
+            }
         if is_solo:
             cls, kern, mfeat = model.apply(variables, x)
             d = decode_solov2(

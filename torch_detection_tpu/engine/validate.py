@@ -125,6 +125,20 @@ def make_inference_fn(model, det_cfg, segm: bool = False) -> Callable:
 
         return infer
 
+    from ..models.detectors import YOLOXConfig, decode_yolox
+
+    if isinstance(det_cfg, YOLOXConfig):
+
+        @jax.jit
+        def infer(variables, image, img_shape, scale_factor):
+            cls, reg, obj = model.apply(variables, image)
+            return decode_yolox(
+                det_cfg, cls, reg, obj,
+                img_shapes=img_shape, scale_factors=scale_factor,
+            )
+
+        return infer
+
     if isinstance(det_cfg, CascadeRCNNConfig):
 
         @jax.jit

@@ -1,3 +1,4 @@
+from .csp_darknet import CSPDarknet
 from .darknet import Darknet
 from .mobilenet import MobileNet, MobileNetV2
 from .resnet import ResNet, ResNeXt, SEResNet, SEResNeXt
@@ -6,6 +7,7 @@ from .ssd_vgg import SSDVGG
 from .vgg import VGG
 
 __all__ = [
+    "CSPDarknet",
     "Darknet",
     "MobileNet",
     "MobileNetV2",

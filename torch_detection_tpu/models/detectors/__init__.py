@@ -19,6 +19,7 @@ from .gfl import GFLConfig, decode_gfl, gfl_loss, integral
 from .detr import DETR, DETRConfig, decode_detr, detr_loss
 from .ssd import SSDConfig, decode_ssd, ssd_loss
 from .yolov3 import YOLOV3Config, decode_yolo, yolo_loss
+from .yolox import YOLOXConfig, decode_yolox, simota_assign, yolox_loss
 from .centernet import (
     CenterNetConfig,
     centernet_loss,
@@ -65,6 +66,10 @@ from .mask_rcnn import (
 )
 
 __all__ = [
+    "YOLOXConfig",
+    "decode_yolox",
+    "simota_assign",
+    "yolox_loss",
     "RetinaNetConfig",
     "SingleStageDetector",
     "SOLOV2",

@@ -33,3 +33,6 @@ __all__ += ["FCNMaskHead", "mask_loss", "mask_targets_for_rois", "paste_masks", 
 from .solov2_head import MaskFeatHead, SOLOV2Head  # noqa: E402
 
 __all__ += ["MaskFeatHead", "SOLOV2Head"]
+from .yolox_head import YOLOXHead  # noqa: E402
+
+__all__ += ["YOLOXHead"]

@@ -158,8 +158,10 @@ def iou_loss(
     eps: float = 1e-7,
     avg_factor: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Aligned (elementwise) IoU / GIoU loss between matching box pairs."""
-    assert mode in ("iou", "giou", "linear_iou")
+    """Aligned (elementwise) IoU / GIoU loss between matching box pairs.
+
+    ``square_iou`` is the YOLOX objective ``1 - iou^2``."""
+    assert mode in ("iou", "giou", "linear_iou", "square_iou")
     lt = jnp.maximum(pred[..., :2], target[..., :2])
     rb = jnp.minimum(pred[..., 2:4], target[..., 2:4])
     wh = jnp.clip(rb - lt + offset, 0.0, None)
@@ -172,6 +174,8 @@ def iou_loss(
         loss = -jnp.log(jnp.clip(iou, eps, 1.0))
     elif mode == "linear_iou":
         loss = 1.0 - iou
+    elif mode == "square_iou":
+        loss = 1.0 - iou**2
     else:  # giou
         elt = jnp.minimum(pred[..., :2], target[..., :2])
         erb = jnp.maximum(pred[..., 2:4], target[..., 2:4])
