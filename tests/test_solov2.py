@@ -100,6 +100,7 @@ def _matrix_nms_oracle(masks, labels, scores, valid, method="gauss", sigma=2.0):
     return out
 
 
+@pytest.mark.core
 class TestMatrixNMS:
     def test_against_oracle(self, rng):
         k, m = 24, 100
@@ -182,6 +183,7 @@ def _targets_oracle(cfg, boxes, labels, valid, ds_masks, canvas_hw):
     return label0, gtidx
 
 
+@pytest.mark.core
 class TestTargets:
     def test_against_oracle(self, rng):
         cfg = _cfg()

@@ -119,6 +119,7 @@ def _simota_oracle(cfg, cls_logits, obj_logits, boxes, grid, strides,
     return fg, matched
 
 
+@pytest.mark.core
 class TestSimOTA:
     def test_against_oracle(self, rng):
         cfg = YOLOXConfig(num_classes=4)
